@@ -44,13 +44,11 @@ class DPResult:
         return self.h[:, -1], self.e[:, -1]
 
     def best(self) -> tuple[int, int, int]:
-        """Best score and its position, ties broken by smallest i+j then
-        smallest i (the engine-wide deterministic tie-break)."""
-        m, n = self.h.shape
-        flat = self.h
-        best = int(flat.max())
-        ii, jj = np.nonzero(flat == best)
-        order = np.lexsort((ii, ii + jj))
+        """Best score and its position, ties broken by smallest i then
+        smallest j (the engine-wide deterministic tie-break)."""
+        best = int(self.h.max())
+        ii, jj = np.nonzero(self.h == best)
+        order = np.lexsort((jj, ii))
         k = order[0]
         return best, int(ii[k]), int(jj[k])
 
@@ -166,7 +164,9 @@ def dp_rows(
     out_col_h = np.empty(m + 1, dtype=np.int64)
     out_col_e = np.empty(m + 1, dtype=np.int64)
     out_col_h[0] = h_prev[n]
-    out_col_e[0] = row_e[n] if row_init == InitType.CUSTOM else NEG
+    # E along row 0 is unrepresentable in the union-cell convention and
+    # never influences rows below; report -INF like the reference borders.
+    out_col_e[0] = NEG
     specials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     special_set = set(special_rows)
     jext = np.arange(n + 1, dtype=np.int64) * ge

@@ -1,0 +1,193 @@
+"""Strip chaining: run a whole partition through the wavefront kernel,
+strip by strip, managing buses, borders, best scores and special rows.
+
+This is the compute core under the aligner (the role of
+AbstractDiagonalAligner::alignPartition + processNextIteration,
+libs/masa-core/src/libmasa/aligners/AbstractDiagonalAligner.cpp:59-159):
+the ``on_special_row`` callback is the dispatch funnel the manager hooks
+into.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from masa_tpu.models.scoring import border_cells
+from masa_tpu.ops import wavefront as wf
+from masa_tpu.types import INF, InitType, Recurrence, ScoreParams
+
+
+@dataclasses.dataclass
+class PartitionResult:
+    last_h: np.ndarray          # (n+1,) DP last row H (index 0 = border)
+    last_f: np.ndarray          # (n+1,)
+    best: int
+    best_i: int                 # DP coordinates
+    best_j: int
+    col_h: np.ndarray | None    # (m+1,) DP last column H if store_lastcol
+    col_e: np.ndarray | None
+    specials: dict[int, tuple[np.ndarray, np.ndarray]]
+    cells: int = 0
+
+
+def _border_vec(init, params, length, start, custom):
+    """(H, gap) border values for DP indices start .. start+length-1."""
+    if init == InitType.CUSTOM:
+        h, g = custom
+        return (
+            np.asarray(h[start : start + length], np.int32),
+            np.asarray(g[start : start + length], np.int32),
+        )
+    h, g = border_cells(length, init, params, start=start)
+    return h, g
+
+
+def run_partition(
+    cfg: wf.WavefrontConfig,
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    params: ScoreParams = ScoreParams(),
+    row_init: InitType = InitType.WITH_ZEROES,
+    col_init: InitType = InitType.WITH_ZEROES,
+    first_row: tuple[np.ndarray, np.ndarray] | None = None,
+    first_col: tuple[np.ndarray, np.ndarray] | None = None,
+    backend: str = "scan",
+    special_every: int = 0,
+    on_special_row: Callable | None = None,
+    stop_check: Callable | None = None,
+) -> PartitionResult:
+    """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
+    border vectors of length n+1 / m+1 when the init type is CUSTOM.
+
+    ``special_every`` must be a multiple of the strip height (or 0);
+    ``on_special_row(dp_row_index, bus_h, bus_f)`` fires at that cadence.
+    ``stop_check(strip_result_dict, dp_row_index)`` may return True to halt
+    early (goal-score support).
+    """
+    m, nj = len(seq0), len(seq1)
+    assert nj >= 1
+    R = cfg.rows
+    L = cfg.lanes
+    if special_every:
+        assert special_every % R == 0, "flush cadence must align to strips"
+
+    T = cfg.steps(nj)
+    if backend == "pallas":
+        blen = wf.padded_len(cfg, nj)
+    else:
+        blen = T
+
+    b = np.full(blen, wf.B_SENTINEL, dtype=np.int32)
+    b[:nj] = np.asarray(seq1, np.int32)
+    b = jnp.asarray(b)
+
+    row_h, row_f = _border_vec(
+        row_init, params, nj + 1, 0, first_row
+    )
+    bus_h = np.full(blen, -INF, dtype=np.int32)
+    bus_f = np.full(blen, -INF, dtype=np.int32)
+    bus_h[:nj] = row_h[1:]
+    bus_f[:nj] = row_f[1:]
+    bus_h, bus_f = jnp.asarray(bus_h), jnp.asarray(bus_f)
+
+    best, best_i, best_j = -INF, 0, 0
+    sw = cfg.recurrence == Recurrence.SMITH_WATERMAN
+    if sw and cfg.track_best:
+        best = int(row_h.max())
+        best_j = int(np.argmax(row_h))
+        best_i = 0
+        ch0, _ = _border_vec(col_init, params, m + 1, 0, first_col)
+        if int(ch0.max()) > best:
+            best = int(ch0.max())
+            best_i, best_j = int(np.argmax(ch0)), 0
+
+    col_h = np.empty(m + 1, np.int64) if cfg.store_lastcol else None
+    col_e = np.empty(m + 1, np.int64) if cfg.store_lastcol else None
+    if cfg.store_lastcol:
+        rh, rf = row_h, row_f
+        col_h[0] = rh[nj]
+        col_e[0] = -INF
+
+    specials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    cells = 0
+    i0 = 0
+    while i0 < m:
+        hs = min(R, m - i0)
+        a_lanes = jnp.asarray(wf.pack_strip_rows(cfg, seq0[i0 : i0 + hs]))
+        ich, ice = _border_vec(col_init, params, hs, i0 + 1, first_col)
+        init_h, init_e = wf.pack_border_cols(cfg, ich, ice)
+        init_h, init_e = jnp.asarray(init_h), jnp.asarray(init_e)
+        corner_h, _ = _border_vec(col_init, params, 1, i0, first_col)
+        corner = int(corner_h[0])
+
+        if backend == "pallas":
+            out = wf.strip_pallas(
+                cfg, a_lanes, b, bus_h, bus_f, init_h, init_e, corner,
+                nj, hs,
+            )
+            new_bh = wf.slice_bus(cfg, out["bus_h"], nj, hs)
+            new_bf = wf.slice_bus(cfg, out["bus_f"], nj, hs)
+            pad = blen - nj
+            bus_h = jnp.concatenate(
+                [new_bh, jnp.full(pad, -INF, jnp.int32)]
+            )
+            bus_f = jnp.concatenate(
+                [new_bf, jnp.full(pad, -INF, jnp.int32)]
+            )
+        else:
+            out = wf.strip_scan(
+                cfg, a_lanes, b, bus_h, bus_f, init_h, init_e, corner,
+                nj, hs,
+            )
+            pad = blen - nj
+            bus_h = jnp.concatenate(
+                [out["bus_h"], jnp.full(pad, -INF, jnp.int32)]
+            )
+            bus_f = jnp.concatenate(
+                [out["bus_f"], jnp.full(pad, -INF, jnp.int32)]
+            )
+        cells += hs * nj
+
+        if cfg.track_best:
+            s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
+            if s > best:
+                best, best_i, best_j = s, i0 + bi + 1, bj + 1
+        if cfg.store_lastcol:
+            col_h[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_h"])
+            col_e[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_e"])
+
+        i0 += hs
+        is_special = special_every and i0 % special_every == 0 and i0 < m
+        if is_special or (on_special_row and i0 == m):
+            bh = np.asarray(bus_h[:nj])
+            bf = np.asarray(bus_f[:nj])
+            if is_special:
+                specials[i0] = (bh, bf)
+            if on_special_row:
+                on_special_row(i0, bh, bf)
+        if stop_check and stop_check(out, i0):
+            break
+
+    last_h = np.empty(nj + 1, np.int64)
+    last_f = np.empty(nj + 1, np.int64)
+    ch, ce = _border_vec(col_init, params, 1, i0, first_col)
+    last_h[0] = ch[0]
+    last_f[0] = -INF
+    last_h[1:] = np.asarray(bus_h[:nj])
+    last_f[1:] = np.asarray(bus_f[:nj])
+
+    return PartitionResult(
+        last_h=last_h,
+        last_f=last_f,
+        best=best,
+        best_i=best_i,
+        best_j=best_j,
+        col_h=col_h,
+        col_e=col_e,
+        specials=specials,
+        cells=cells,
+    )

@@ -1,0 +1,438 @@
+"""The anti-diagonal wavefront strip kernel — the engine's hot 99%.
+
+TPU-first re-design of the reference's CUDA wavefront
+(src/CUDAligner.cu:638-1007), NOT a translation:
+
+  * A strip of ``R = ALPHA * L`` rows is one kernel invocation;
+    ``L = RS*128`` lanes live in an ``(RS, 128)`` int32 VPU vector.  Lane
+    ``l`` owns rows ``[ALPHA*l, ALPHA*l+ALPHA)`` and at wavefront step ``t``
+    computes column ``j = t - l`` for all its ALPHA rows.  The intra-lane
+    vertical chain of ALPHA cells is purely element-wise, so ALPHA cells
+    cost one step (this plays the role of CUDAlign's ALPHA=4 rows/thread,
+    CUDAligner.hpp:62).
+  * Cross-lane dependencies (row ``ALPHA*l - 1`` values from lane ``l-1`` at
+    steps ``t-1``/``t-2``) are *lane shifts*: a lane roll plus a sublane
+    carry — the TPU equivalent of CUDAlign's shared-memory diagonal
+    exchange (kernel_load/kernel_flush, CUDAligner.cu:441-540).
+  * The H/F row bus lives in HBM and streams through VMEM in column chunks
+    via the Pallas grid.  Bus writes trail bus reads by exactly ``L-1``
+    steps, so the output array stores column ``j`` at physical index
+    ``j + L - 1 == t`` — reads and writes are both indexed by ``t`` and
+    stay block-aligned.
+  * Strip boundaries are the special rows (the SRA persists the bus at the
+    flush cadence).
+
+Index conventions (kernel frame vs DP frame):
+  kernel column ``j`` in [0, nj)  <->  DP column ``j+1`` (consumes seq1[j])
+  kernel row    ``i`` in [0, R)   <->  DP row ``i0+i+1`` (consumes strip char i)
+  ``bus[j]``   = DP (H, F) at (strip_top-1, j+1);  the DP border element
+                 (column 0) is supplied separately via ``corner``.
+  ``init_h/e`` = DP (H, E) of the left border at rows i0+1 .. i0+R.
+
+The same step math runs in two harnesses: ``strip_scan`` (lax.scan, any
+backend — the differential twin for tests/fallback) and ``strip_pallas``
+(the TPU kernel).  Both are checked against ops.oracle in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from masa_tpu.types import INF, Recurrence
+
+NEG = -INF
+A_SENTINEL = -2  # padded strip rows: never equal to any real byte or B_SENTINEL
+B_SENTINEL = -1  # padded columns
+
+
+@dataclasses.dataclass(frozen=True)
+class WavefrontConfig:
+    """Static kernel template axes (the analogue of the 16 precompiled CUDA
+    variants, CUDAligner.cu:1261-1332)."""
+
+    alpha: int = 4
+    rs: int = 8               # sublane rows; lanes L = rs*128
+    chunk: int = 16384        # columns (steps) per grid step; must be >= L
+    recurrence: Recurrence = Recurrence.SMITH_WATERMAN
+    match: int = 1
+    mismatch: int = -3
+    gap_open: int = 3
+    gap_ext: int = 2
+    track_best: bool = True
+    store_lastcol: bool = False
+    interpret: bool = False   # Pallas interpreter mode (CPU tests)
+
+    @property
+    def lanes(self) -> int:
+        return self.rs * 128
+
+    @property
+    def rows(self) -> int:
+        return self.alpha * self.lanes
+
+    def steps(self, nj: int) -> int:
+        return nj + self.lanes - 1
+
+
+def _lane_iota(rs: int) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1)
+    return r * 128 + c
+
+
+def _shift(x: jnp.ndarray, insert) -> jnp.ndarray:
+    """Flat down-shift by one lane over an (RS,128) vector: out[l] = x[l-1],
+    out[0] = insert.  One lane roll + a sublane carry fix (2-D throughout —
+    Mosaic dislikes 1-D vectors)."""
+    rolled = jnp.roll(x, 1, axis=1)
+    carry = jnp.roll(x[:, -1:], 1, axis=0)  # (RS, 1)
+    carry = carry.at[0, 0].set(insert)
+    return rolled.at[:, 0:1].set(carry)
+
+
+def _flush_pos(cfg: WavefrontConfig, h_true: int) -> tuple[int, int, int, int]:
+    """(lane, sub-row, sublane, lane-col) of the strip's flush (bus) row."""
+    r = h_true - 1
+    lane, k = r // cfg.alpha, r % cfg.alpha
+    return lane, k, lane // 128, lane % 128
+
+
+def _make_step(cfg: WavefrontConfig, nj: int, h_true: int, fast: bool):
+    """Build the per-step update.
+
+    The state is a flat tuple (scan-friendly):
+      hh[0..A-1], ee[0..A-1], r3h1, r3h2, r3f, rb, bus_h_prev,
+      [best_v[0..A-1], best_t[0..A-1]], [lc_h[0..A-1], lc_e[0..A-1]]
+
+    Returns step(state, t, b_t, bus_h_t, bus_f_t) ->
+      (state', h_flush_vec, f_flush_vec)
+
+    ``fast=True`` omits border/tail masking — valid only for steps with
+    L-1 <= t < nj on a full strip.  a_lanes/init_h/init_e are closed over.
+    """
+    go, ge = cfg.gap_open, cfg.gap_ext
+    sw = cfg.recurrence == Recurrence.SMITH_WATERMAN
+    a = cfg.alpha
+    full = h_true == cfg.rows
+    _, k_flush, _, _ = _flush_pos(cfg, h_true)
+
+    def make(a_lanes, init_h, init_e):
+        def step(st, t, b_t, bus_h_t, bus_f_t):
+            (hh, ee, r3h1, r3h2, r3f, rb0, bus_h_prev,
+             best_v, best_t, lc_h, lc_e) = st
+            up_h = _shift(r3h1, bus_h_t)
+            up_f = _shift(r3f, bus_f_t)
+            dg_h = _shift(r3h2, bus_h_prev)
+            rb = _shift(rb0, b_t)
+
+            if not fast:
+                li = _lane_iota(cfg.rs)
+                j_vec = t - li
+                at_border = j_vec == -1
+                valid_j = jnp.logical_and(j_vec >= 0, j_vec < nj)
+                at_lastcol = j_vec == (nj - 1)
+
+            hs, es, fs = [], [], []
+            new_bv, new_bt = list(best_v), list(best_t)
+            new_lh, new_le = list(lc_h), list(lc_e)
+            for k in range(a):
+                e_k = jnp.maximum(hh[k] - go, ee[k]) - ge
+                uh = up_h if k == 0 else hs[k - 1]
+                uf = up_f if k == 0 else fs[k - 1]
+                f_k = jnp.maximum(uh - go, uf) - ge
+                dg = dg_h if k == 0 else hh[k - 1]
+                sub = jnp.where(a_lanes[k] == rb, cfg.match, cfg.mismatch)
+                h_k = jnp.maximum(jnp.maximum(dg + sub, e_k), f_k)
+                if sw:
+                    h_k = jnp.maximum(h_k, 0)
+                if not fast:
+                    h_k = jnp.where(at_border, init_h[k], h_k)
+                    e_k = jnp.where(at_border, init_e[k], e_k)
+                hs.append(h_k)
+                es.append(e_k)
+                fs.append(f_k)
+                if cfg.track_best:
+                    if fast:
+                        upd = h_k > best_v[k]
+                    else:
+                        row_ok = valid_j if full else jnp.logical_and(
+                            valid_j, (li * a + k) < h_true
+                        )
+                        upd = jnp.logical_and(h_k > best_v[k], row_ok)
+                    new_bv[k] = jnp.where(upd, h_k, best_v[k])
+                    new_bt[k] = jnp.where(upd, t, best_t[k])
+                if cfg.store_lastcol and not fast:
+                    new_lh[k] = jnp.where(at_lastcol, h_k, lc_h[k])
+                    new_le[k] = jnp.where(at_lastcol, e_k, lc_e[k])
+
+            st2 = (tuple(hs), tuple(es), hs[a - 1], r3h1, fs[a - 1], rb,
+                   jnp.asarray(bus_h_t, jnp.int32),
+                   tuple(new_bv), tuple(new_bt),
+                   tuple(new_lh), tuple(new_le))
+            return st2, hs[k_flush], fs[k_flush]
+
+        return step
+
+    return make
+
+
+def _init_state(cfg: WavefrontConfig, corner):
+    z = jnp.full((cfg.rs, 128), NEG, jnp.int32)
+    zz = jnp.full((cfg.rs, 128), -3, jnp.int32)  # never equals chars/sentinels
+    t0 = jnp.zeros((cfg.rs, 128), jnp.int32)
+    a = cfg.alpha
+    nb = a if cfg.track_best else 0
+    nl = a if cfg.store_lastcol else 0
+    return (
+        (z,) * a, (z,) * a, z, z, z, zz, jnp.asarray(corner, jnp.int32),
+        (z,) * nb, (t0,) * nb, (z,) * nl, (z,) * nl,
+    )
+
+
+def _resolve_outputs(cfg, h_true, bus_h, bus_f, st):
+    """Reshape best/lastcol captures to row-major engine outputs."""
+    out = {"bus_h": bus_h, "bus_f": bus_f}
+    lanes = cfg.lanes
+    best_v, best_t, lc_h, lc_e = st[7], st[8], st[9], st[10]
+    if cfg.track_best:
+        out["best_v"] = jnp.stack([v.reshape(lanes) for v in best_v])
+        out["best_t"] = jnp.stack([v.reshape(lanes) for v in best_t])
+    if cfg.store_lastcol:
+        lh = jnp.stack([v.reshape(lanes) for v in lc_h])  # (A, L)
+        le = jnp.stack([v.reshape(lanes) for v in lc_e])
+        out["lastcol_h"] = lh.T.reshape(cfg.rows)[:h_true]
+        out["lastcol_e"] = le.T.reshape(cfg.rows)[:h_true]
+    return out
+
+
+def resolve_best(best_v, best_t):
+    """Reduce per-(sub-row, lane) best captures (A, L) to (score, i, j) in
+    kernel coordinates.  Ties break to smallest i, then smallest j (each
+    slot's in-kernel strict `>` update already keeps its smallest j)."""
+    bv = np.asarray(best_v)
+    bt = np.asarray(best_t)
+    a, lanes = bv.shape
+    ks, ls = np.meshgrid(np.arange(a), np.arange(lanes), indexing="ij")
+    i = ls * a + ks
+    j = bt - ls
+    score = int(bv.max())
+    mask = bv == score
+    ii, jj = i[mask], j[mask]
+    order = np.lexsort((jj, ii))
+    return score, int(ii[order[0]]), int(jj[order[0]])
+
+
+def pack_strip_rows(cfg: WavefrontConfig, chars: np.ndarray) -> np.ndarray:
+    """Rearrange R strip chars (row-major) into the (A, RS, 128) lane layout,
+    padding with A_SENTINEL."""
+    r = cfg.rows
+    out = np.full(r, A_SENTINEL, dtype=np.int32)
+    out[: len(chars)] = np.asarray(chars, dtype=np.int32)
+    return np.ascontiguousarray(
+        out.reshape(cfg.lanes, cfg.alpha).T.reshape(cfg.alpha, cfg.rs, 128)
+    )
+
+
+def pack_border_cols(cfg: WavefrontConfig, h, e) -> tuple[np.ndarray, np.ndarray]:
+    """Rearrange left-border (H, E) vectors (length <= R) into (A, RS, 128)."""
+
+    def pack(v):
+        out = np.full(cfg.rows, NEG, dtype=np.int32)
+        out[: len(v)] = np.asarray(v, dtype=np.int32)
+        return np.ascontiguousarray(
+            out.reshape(cfg.lanes, cfg.alpha).T.reshape(cfg.alpha, cfg.rs, 128)
+        )
+
+    return pack(h), pack(e)
+
+
+# ---------------------------------------------------------------------------
+# lax.scan harness (any backend; the kernel's differential twin)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nj", "h_true"))
+def strip_scan(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
+               init_e, corner, nj: int, h_true: int):
+    """Run one strip with lax.scan.
+
+    a_lanes/init_h/init_e: (A,RS,128) int32; b/bus_h/bus_f: (>=T,) int32
+    (logical index t, padded beyond nj); corner: scalar int32.
+    Returns dict with bus_h/bus_f (nj,), best captures, last column.
+    """
+    T = cfg.steps(nj)
+    step = _make_step(cfg, nj, h_true, fast=False)(a_lanes, init_h, init_e)
+    lane, _, fr, fc = _flush_pos(cfg, h_true)
+
+    def body(carry, xs):
+        t, b_t, bh_t, bf_t = xs
+        st, h_fl, f_fl = step(carry, t, b_t, bh_t, bf_t)
+        return st, (h_fl[fr, fc], f_fl[fr, fc])
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    st, ys = jax.lax.scan(
+        body, _init_state(cfg, corner),
+        (ts, b[:T], bus_h[:T], bus_f[:T]),
+    )
+    bus_h_out = jax.lax.dynamic_slice(ys[0], (lane,), (nj,))
+    bus_f_out = jax.lax.dynamic_slice(ys[1], (lane,), (nj,))
+    return _resolve_outputs(cfg, h_true, bus_h_out, bus_f_out, st)
+
+
+# ---------------------------------------------------------------------------
+# Pallas harness (the TPU kernel)
+# ---------------------------------------------------------------------------
+
+
+def _num_chunks(cfg: WavefrontConfig, nj: int) -> int:
+    return pl.cdiv(cfg.steps(nj), cfg.chunk)
+
+
+def padded_len(cfg: WavefrontConfig, nj: int) -> int:
+    return _num_chunks(cfg, nj) * cfg.chunk
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nj", "h_true"))
+def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
+                 init_e, corner, nj: int, h_true: int):
+    """Run one strip as a Pallas kernel, grid over column chunks.
+
+    b/bus_h/bus_f must have length padded_len(cfg, nj) (logical index t).
+    Returned bus_h/bus_f are physical (offset L-1) arrays of that length;
+    use ``slice_bus`` to extract the logical (nj,) bus.
+    """
+    assert cfg.chunk >= cfg.lanes, "chunk must cover the lane ramp"
+    C = cfg.chunk
+    ng = _num_chunks(cfg, nj)
+    T = cfg.steps(nj)
+    a = cfg.alpha
+    nb = a if cfg.track_best else 0
+    nl = a if cfg.store_lastcol else 0
+    lane, k_fl, fr, fc = _flush_pos(cfg, h_true)
+    make_fast = _make_step(cfg, nj, h_true, fast=True)
+    make_edge = _make_step(cfg, nj, h_true, fast=False)
+
+    vec = (cfg.rs, 128)
+    n_state = 2 * a + 5 + 2 * nb + 2 * nl
+
+    def kernel(corner_ref, a_ref, ih_ref, ie_ref, b_ref, bh_ref, bf_ref,
+               bho_ref, bfo_ref, bv_ref, bt_ref, lch_ref, lce_ref,
+               state_ref):
+        g = pl.program_id(0)
+        a_lanes_v = [a_ref[k] for k in range(a)]
+        init_h_v = [ih_ref[k] for k in range(a)]
+        init_e_v = [ie_ref[k] for k in range(a)]
+        step_fast = make_fast(a_lanes_v, init_h_v, init_e_v)
+        step_edge = make_edge(a_lanes_v, init_h_v, init_e_v)
+
+        def load_state():
+            flat = [state_ref[i] for i in range(n_state)]
+            it = iter(flat)
+            take = lambda n: tuple(next(it) for _ in range(n))
+            hh, ee = take(a), take(a)
+            r3h1, r3h2, r3f, rb = take(4)
+            bhp = next(it)[0, 0]
+            bv, bt = take(nb), take(nb)
+            lh, le = take(nl), take(nl)
+            return (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le)
+
+        def pack_state(st):
+            (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le) = st
+            scal = jnp.zeros(vec, jnp.int32).at[0, 0].set(bhp)
+            flat = (list(hh) + list(ee) + [r3h1, r3h2, r3f, rb, scal]
+                    + list(bv) + list(bt) + list(lh) + list(le))
+            for i, v in enumerate(flat):
+                state_ref[i] = v
+
+        st0 = jax.lax.cond(
+            g == 0,
+            lambda: _init_state(cfg, corner_ref[0]),
+            load_state,
+        )
+
+        is_edge = jnp.logical_or(g == 0, (g + 1) * C > nj - 1)
+
+        def run(step_fn, st_in):
+            def body(tl, st):
+                t = g * C + tl
+                b_t = b_ref[tl]
+                bh_t = bh_ref[tl]
+                bf_t = bf_ref[tl]
+                st2, h_fl, f_fl = step_fn(st, t, b_t, bh_t, bf_t)
+                bho_ref[tl] = h_fl[fr, fc]
+                bfo_ref[tl] = f_fl[fr, fc]
+                return st2
+            return jax.lax.fori_loop(0, C, body, st_in)
+
+        st = jax.lax.cond(
+            is_edge, lambda s: run(step_edge, s), lambda s: run(step_fast, s),
+            st0,
+        )
+        pack_state(st)
+
+        @pl.when(g == ng - 1)
+        def _():
+            (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le) = st
+            for k in range(nb):
+                bv_ref[k] = bv[k]
+                bt_ref[k] = bt[k]
+            for k in range(nl):
+                lch_ref[k] = lh[k]
+                lce_ref[k] = le[k]
+
+    corner_arr = jnp.asarray(corner, jnp.int32).reshape(1)
+    full_vec = pl.BlockSpec((a, cfg.rs, 128), lambda g, c: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    chunk_spec = pl.BlockSpec((C,), lambda g, c: (g,),
+                              memory_space=pltpu.VMEM)
+    best_spec = pl.BlockSpec((max(nb, 1), cfg.rs, 128),
+                             lambda g, c: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    lc_spec = pl.BlockSpec((max(nl, 1), cfg.rs, 128),
+                           lambda g, c: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[full_vec, full_vec, full_vec,
+                  chunk_spec, chunk_spec, chunk_spec],
+        out_specs=[chunk_spec, chunk_spec, best_spec, best_spec,
+                   lc_spec, lc_spec],
+        scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((ng * C,), jnp.int32),
+        jax.ShapeDtypeStruct((ng * C,), jnp.int32),
+        jax.ShapeDtypeStruct((max(nb, 1), cfg.rs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((max(nb, 1), cfg.rs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
+    ]
+    bho, bfo, bv, bt, lch, lce = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=cfg.interpret,
+    )(corner_arr, a_lanes, init_h, init_e, b, bus_h, bus_f)
+
+    st_like = (None,) * 7 + (
+        tuple(bv[k] for k in range(nb)),
+        tuple(bt[k] for k in range(nb)),
+        tuple(lch[k] for k in range(nl)),
+        tuple(lce[k] for k in range(nl)),
+    )
+    return _resolve_outputs(cfg, h_true, bho, bfo, st_like)
+
+
+def slice_bus(cfg: WavefrontConfig, bus_phys, nj: int, h_true: int):
+    """Extract the logical (nj,) bus from a physical array: the flush row's
+    column j is emitted at step t = j + flush_lane."""
+    lane, _, _, _ = _flush_pos(cfg, h_true)
+    return jax.lax.dynamic_slice(bus_phys, (lane,), (nj,))

@@ -6,7 +6,9 @@ multi-chip path); the real-TPU kernel benchmarks live in bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may preset JAX_PLATFORMS (e.g. the
+# "axon" TPU tunnel); tests must never claim the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
