@@ -1,0 +1,453 @@
+"""Stage-agnostic traceback machinery: forward passes with special rows,
+reverse goal-score marching (stage 2/3), and the crosspoint algebra.
+
+Crosspoint/state contract (see ops/smallsw.py): a crosspoint (i, j, s, t)
+pins the optimal path to state t at DP cell (i, j) with state value s (gap
+states include their single gap_open).  Invariants used everywhere:
+
+  * cut matching at a special row r (AlignerUtils::matchColumn semantics):
+      ALIGNED:  fwd_H(r,j) + rev_H == goal
+      GAPPED:   fwd_F(r,j) + rev_F + gap_open == goal
+    where goal = s + gap_open*[t != MATCH] for the crosspoint being matched
+    from (stage2/sw_stage2.cpp:369-372 bookkeeping).
+  * constrained segment value between consecutive crosspoints equals the
+    raw score difference s_{k+1} - s_k (the stage-5 invariant).
+
+Border gap synthesis: stored rows/columns carry only one gap component
+(the reference's union cell), so the vertical-gap value *along a border
+column* is synthesized exactly from the border H values:
+F(r, border) = max_{r0<r}( H(r0) - open - (r-r0)*ext ), a prefix-max.
+This replaces the reference's scattered full-gap special cases
+(AlignerManager::findFullGap, common/AlignerManager.cpp:658-718).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from masa_tpu.models.scoring import border_cells, match_column
+from masa_tpu.ops import oracle
+from masa_tpu.ops import strips
+from masa_tpu.ops import wavefront as wf
+from masa_tpu.types import (
+    INF,
+    AlignmentStart,
+    Crosspoint,
+    CrosspointType,
+    InitType,
+    MatchType,
+    Recurrence,
+    ScoreParams,
+)
+
+NEG = -INF
+
+
+class SpecialRowStore:
+    """RAM special-row store: row index -> ((n+1,) H, (n+1,) F) including
+    the border element at k=0.  The SRA disk store implements the same
+    protocol."""
+
+    def __init__(self):
+        self._rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def put(self, r: int, h: np.ndarray, f: np.ndarray) -> None:
+        self._rows[r] = (np.asarray(h), np.asarray(f))
+
+    def get(self, r: int) -> tuple[np.ndarray, np.ndarray]:
+        return self._rows[r]
+
+    def rows(self) -> list[int]:
+        return sorted(self._rows)
+
+    def next_below(self, i: int, min_dist: int = 1) -> int | None:
+        """Largest stored row r with r <= i - min_dist (the reverse-ordered
+        consumption of SpecialRowsPartition::nextSpecialRow)."""
+        cand = [r for r in self._rows if r <= i - min_dist]
+        return max(cand) if cand else None
+
+    def truncate_above(self, i: int) -> None:
+        """Drop rows above the found crosspoint
+        (SpecialRowsArea::truncatePartition)."""
+        for r in [r for r in self._rows if r > i]:
+            del self._rows[r]
+
+    def __len__(self):
+        return len(self._rows)
+
+
+def border_gap_values(h_border: np.ndarray, params: ScoreParams) -> np.ndarray:
+    """Exact gap-state values along a border: out[k] =
+    max_{k0<k}( h[k0] - open - (k-k0)*ext ), out[0] = -INF."""
+    n = len(h_border)
+    ext = params.gap_ext
+    k = np.arange(n, dtype=np.int64)
+    g = np.asarray(h_border, np.int64) + k * ext
+    run = np.maximum.accumulate(g)
+    out = np.empty(n, np.int64)
+    out[0] = NEG
+    out[1:] = run[:-1] - params.gap_open - k[1:] * ext
+    return np.maximum(out, NEG)
+
+
+def init_types_for(start_type: int) -> tuple[InitType, InitType]:
+    """(row_init, col_init) pinning a partition's start state exactly:
+    H(0,0)=0 always; the opened-gap border continues the pinned gap without
+    re-charging gap_open."""
+    if start_type == CrosspointType.GAP_1:
+        return InitType.WITH_GAPS_OPENED, InitType.WITH_GAPS
+    if start_type == CrosspointType.GAP_2:
+        return InitType.WITH_GAPS, InitType.WITH_GAPS_OPENED
+    return InitType.WITH_GAPS, InitType.WITH_GAPS
+
+
+@dataclasses.dataclass
+class FwdResult:
+    last_h: np.ndarray   # (n+1,) with synthesized border gap at [0] in last_f
+    last_f: np.ndarray
+    best: int
+    best_i: int
+    best_j: int
+    specials: SpecialRowStore
+    cells: int
+
+
+def forward_pass(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    params: ScoreParams,
+    recurrence: Recurrence,
+    row_init: InitType,
+    col_init: InitType,
+    first_row=None,
+    first_col=None,
+    special_every: int = 0,
+    store: SpecialRowStore | None = None,
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+    track_best: bool = True,
+) -> FwdResult:
+    """Forward DP over a partition; persists special rows (with synthesized
+    border gap values) into `store`."""
+    m, n = len(seq0), len(seq1)
+    store = store if store is not None else SpecialRowStore()
+    if backend == "auto":
+        backend = "numpy" if m * n < 4_000_000 else "kernel"
+
+    # Border H column for gap synthesis at k=0 of each special row.
+    if col_init == InitType.CUSTOM:
+        col_h = np.asarray(first_col[0], np.int64)
+    else:
+        col_h, _ = border_cells(m + 1, col_init, params)
+        col_h = col_h.astype(np.int64)
+    col_f_syn = border_gap_values(col_h, params)
+
+    def put_row(r, h_full, f_full):
+        f_full = np.asarray(f_full, np.int64).copy()
+        f_full[0] = col_f_syn[r]
+        store.put(r, np.asarray(h_full, np.int64), f_full)
+
+    if backend == "numpy":
+        rows = tuple(
+            range(special_every, m + 1, special_every)
+        ) if special_every else ()
+        res = oracle.dp_rows(
+            seq0, seq1, params, recurrence, row_init, col_init,
+            first_row=first_row, first_col=first_col,
+            special_rows=rows,
+        )
+        for r, (h, f) in res.specials.items():
+            put_row(r, h, f)
+        lf = res.last_f.copy()
+        lf[0] = col_f_syn[m]
+        return FwdResult(res.last_h, lf, res.best, res.best_i,
+                         res.best_j, store, m * n)
+
+    cfg = cfg or default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        recurrence=recurrence,
+        track_best=track_best and recurrence == Recurrence.SMITH_WATERMAN,
+        store_lastcol=False,
+    )
+    if special_every:
+        # round up to the strip height (the kernel flushes at strip
+        # boundaries only)
+        r = cfg.rows
+        special_every = ((special_every + r - 1) // r) * r
+
+    def on_special(r, bus_h, bus_f):
+        h_full = np.empty(n + 1, np.int64)
+        f_full = np.empty(n + 1, np.int64)
+        h_full[0] = col_h[r]
+        f_full[0] = NEG
+        h_full[1:] = bus_h
+        f_full[1:] = bus_f
+        put_row(r, h_full, f_full)
+
+    res = strips.run_partition(
+        cfg, seq0, seq1, params, row_init, col_init,
+        first_row=first_row, first_col=first_col,
+        backend=default_backend(),
+        special_every=special_every,
+        on_special_row=on_special if special_every else None,
+    )
+    lf = res.last_f.copy()
+    lf[0] = col_f_syn[m]
+    return FwdResult(res.last_h, lf, res.best, res.best_i, res.best_j,
+                     store, res.cells)
+
+
+_DEFAULT_CFG = None
+
+
+def default_backend() -> str:
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
+def default_config() -> wf.WavefrontConfig:
+    global _DEFAULT_CFG
+    if _DEFAULT_CFG is None:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            _DEFAULT_CFG = wf.WavefrontConfig(alpha=4, rs=8, chunk=16384)
+        else:
+            _DEFAULT_CFG = wf.WavefrontConfig(alpha=4, rs=1, chunk=512)
+    return _DEFAULT_CFG
+
+
+@dataclasses.dataclass
+class ReverseMatch:
+    crosspoint: Crosspoint | None
+    start_found: bool = False
+    start: tuple[int, int] | None = None
+
+
+def reverse_pass_and_match(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    params: ScoreParams,
+    cp: Crosspoint,
+    cut_row: int,
+    fwd_h: np.ndarray,
+    fwd_f: np.ndarray,
+    j_low: int,
+    goal_anywhere: bool,
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+) -> ReverseMatch:
+    """One reverse partition: from crosspoint `cp` up to `cut_row`,
+    columns [j_low, cp.j], matched against the stored forward cut.
+
+    fwd_h/fwd_f are the stored (n+1,) special-row arrays of `cut_row`
+    (global column indexing).  Returns the next crosspoint, or a
+    start-found result (SW), or crosspoint=None when the window was too
+    small (caller widens j_low).
+    """
+    ci, cj, s, t = cp.i, cp.j, cp.score, cp.type
+    hb = ci - cut_row
+    width = cj - j_low
+    assert hb >= 1
+    goal = s + (params.gap_open if t != CrosspointType.MATCH else 0)
+
+    rseq0 = np.ascontiguousarray(seq0[cut_row:ci][::-1])
+    rseq1 = np.ascontiguousarray(seq1[j_low:cj][::-1])
+
+    # Reverse frame: row border = horizontal moves back from the
+    # crosspoint; col border = vertical.  Pin the crosspoint state.
+    row_init, col_init = init_types_for(t)
+
+    if backend == "auto":
+        backend = "numpy" if hb * max(width, 1) < 4_000_000 else "kernel"
+    if width == 0:
+        # Degenerate window: only the straight-up border column exists.
+        rev_h, _ = border_cells(hb + 1, col_init, params)
+        rev_h = rev_h.astype(np.int64)
+        rev_f = border_gap_values(rev_h, params)
+        rev_last_h = rev_h[hb : hb + 1]
+        rev_last_f = np.array(
+            [_border_f_value(col_init, hb, params)], np.int64
+        )
+        best = NEG
+        best_pq = (0, 0)
+    elif backend == "numpy":
+        res = oracle.dp_rows(
+            rseq0, rseq1, params, Recurrence.NEEDLEMAN_WUNSCH,
+            row_init, col_init,
+        )
+        rev_last_h = res.last_h
+        rev_last_f = res.last_f.copy()
+        rev_last_f[0] = _border_f_value(col_init, hb, params)
+        best, best_pq = _np_best(rseq0, rseq1, params, row_init, col_init,
+                                 goal) if goal_anywhere else (NEG, (0, 0))
+    else:
+        kcfg = cfg or default_config()
+        kcfg = dataclasses.replace(
+            kcfg,
+            recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+            track_best=goal_anywhere,
+            store_lastcol=False,
+        )
+        res = strips.run_partition(
+            kcfg, rseq0, rseq1, params, row_init, col_init,
+            backend=default_backend(),
+        )
+        rev_last_h = res.last_h
+        rev_last_f = res.last_f.copy()
+        rev_last_f[0] = _border_f_value(col_init, hb, params)
+        best = res.best
+        best_pq = (res.best_i, res.best_j)
+
+    # SW start detection: the pinned-state reverse matrix is bounded above
+    # by the goal; best == goal locates the alignment start.
+    if goal_anywhere and best == goal:
+        p, q = best_pq
+        return ReverseMatch(None, start_found=True,
+                            start=(ci - p, cj - q))
+
+    # Matching frame: index k runs j = cj - k for k in [0, width].
+    fwd_cut_h = np.asarray(fwd_h, np.int64)[j_low : cj + 1][::-1]
+    fwd_cut_f = np.asarray(fwd_f, np.int64)[j_low : cj + 1][::-1]
+    mres = match_column(
+        np.asarray(rev_last_h, np.int64),
+        np.asarray(rev_last_f, np.int64),
+        fwd_cut_h,
+        fwd_cut_f,
+        goal,
+        params.gap_open,
+    )
+    if not mres.found:
+        if mres.type in (MatchType.ERROR_SUM_MATCH, MatchType.ERROR_SUM_GAP) \
+                and j_low == 0:
+            raise RuntimeError(
+                f"Backtrace lost at row {cut_row} (match overshoot "
+                f"{mres.type})"
+            )
+        return ReverseMatch(None)
+    j_star = cj - mres.k
+    new_type = (
+        CrosspointType.MATCH
+        if mres.type == MatchType.ALIGNED
+        else CrosspointType.GAP_2
+    )
+    return ReverseMatch(
+        Crosspoint(cut_row, j_star, int(mres.score), new_type)
+    )
+
+
+def _border_f_value(col_init: InitType, i: int, params: ScoreParams) -> int:
+    """The true gap-state value straight along a synthesized border column
+    (continuing pinned gap for GAPS_OPENED, freshly opened for GAPS)."""
+    if col_init == InitType.WITH_GAPS_OPENED:
+        return -i * params.gap_ext
+    return -params.gap_open - i * params.gap_ext
+
+
+def _np_best(rseq0, rseq1, params, row_init, col_init, goal):
+    """Best cell (with position) of a small reverse matrix via dp_rows'
+    SW-style tracking is wrong for NW values; recompute densely."""
+    res = oracle.dp_matrix(
+        rseq0, rseq1, params, Recurrence.NEEDLEMAN_WUNSCH,
+        row_init, col_init,
+    )
+    b, bi, bj = res.best()
+    return b, (bi, bj)
+
+
+def reverse_march(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    params: ScoreParams,
+    endpoint: Crosspoint,
+    specials: SpecialRowStore,
+    row_init: InitType,
+    col_init: InitType,
+    alignment_start: AlignmentStart,
+    min_dist: int = 1,
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+    on_crosspoint=None,
+    fix_origin: bool = True,
+) -> list[Crosspoint]:
+    """The stage-2 loop: march crosspoints from `endpoint` back toward the
+    origin, matching at stored special rows (virtual row 0 included).
+
+    Returns crosspoints ordered from start to endpoint (ascending i).
+    row_init/col_init describe the *matrix borders* (virtual row 0 / the
+    border column), used for the final row-0 matching and origin fixups.
+    """
+    n = len(seq1)
+    sw_anywhere = alignment_start == AlignmentStart.ANYWHERE
+    cps: list[Crosspoint] = [endpoint]
+    cp = endpoint
+
+    row0_h, _ = (
+        border_cells(n + 1, row_init, params)
+        if row_init != InitType.CUSTOM
+        else (None, None)
+    )
+
+    while True:
+        if sw_anywhere and cp.score <= 0:
+            break
+        if cp.i == 0:
+            break
+        if cp.i == 0 or (cp.j == 0 and not sw_anywhere):
+            break
+
+        r = specials.next_below(cp.i, min_dist)
+        if r is None or r == 0:
+            r = 0
+            fh = row0_h.astype(np.int64)
+            ff = np.full(n + 1, NEG, np.int64)
+        else:
+            fh, ff = specials.get(r)
+
+        goal_anywhere = sw_anywhere and cp.score <= (cp.j + 1) * params.match
+
+        width0 = min(cp.j, max(4096, 2 * (cp.i - r)))
+        j_low = cp.j - width0
+        while True:
+            rm = reverse_pass_and_match(
+                seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
+                goal_anywhere, backend=backend, cfg=cfg,
+            )
+            if rm.start_found:
+                si, sj = rm.start
+                cp = Crosspoint(si, sj, 0, CrosspointType.MATCH)
+                cps.append(cp)
+                if on_crosspoint:
+                    on_crosspoint(cp)
+                return list(reversed(cps))
+            if rm.crosspoint is not None:
+                break
+            if j_low <= 0:
+                # full width failed: widen over rows instead (skip this
+                # special row — can happen when min_dist skipped past the
+                # crosspoint's own row)
+                raise RuntimeError(
+                    f"Backtrace lost: no match at special row {r}"
+                )
+            j_low = cp.j - 2 * (cp.j - j_low)
+        cp = rm.crosspoint
+        cps.append(cp)
+        if on_crosspoint:
+            on_crosspoint(cp)
+        specials.truncate_above(cp.i)
+
+    # Origin fixup (stage2/sw_stage2.cpp:461-481): a crosspoint resting on
+    # a *gapped* border extends to the origin.
+    first = cps[-1]
+    gapped = (InitType.WITH_GAPS, InitType.WITH_GAPS_OPENED)
+    if fix_origin and not sw_anywhere and (first.i > 0 or first.j > 0):
+        if (first.i == 0 and row_init in gapped) or (
+            first.j == 0 and col_init in gapped
+        ):
+            cps.append(Crosspoint(0, 0, 0, CrosspointType.MATCH))
+
+    return list(reversed(cps))

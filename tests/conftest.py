@@ -7,13 +7,18 @@ multi-chip path); the real-TPU kernel benchmarks live in bench.py.
 import os
 
 # Force CPU: the ambient environment may preset JAX_PLATFORMS (e.g. the
-# "axon" TPU tunnel); tests must never claim the real chip.
+# "axon" TPU tunnel, which ignores the env var); tests must never claim
+# the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,127 @@
+"""End-to-end pipeline tests: full alignment vs the NumPy oracle, with the
+stage-5 invariants and the stage-6 independent re-score."""
+
+import numpy as np
+import pytest
+
+from masa_tpu.ops import oracle
+from masa_tpu.ops.wavefront import WavefrontConfig
+from masa_tpu.stages import pipeline, stage6
+from masa_tpu.types import AlignmentStart, InitType, Recurrence, ScoreParams
+
+P = ScoreParams()
+KCFG = WavefrontConfig(alpha=4, rs=1, chunk=512)
+
+
+def run(s0, s1, start=AlignmentStart.ANYWHERE, **kw):
+    pcfg = pipeline.PipelineConfig(
+        alignment_start=start, kernel_cfg=KCFG, **kw
+    )
+    aln = pipeline.align_pair(s0, s1, pcfg)
+    res = stage6.recheck(aln, s0, s1, P)
+    assert res.score == aln.raw_score
+    assert res.matches == aln.matches
+    assert res.mismatches == aln.mismatches
+    assert res.gap_opens == aln.gap_opens
+    assert res.gap_extensions == aln.gap_extensions
+    return aln
+
+
+class TestLocalAlignment:
+    def test_small_exact(self, dna, homolog):
+        s0 = dna(400, seed=51)
+        s1 = homolog(s0, seed=52)
+        aln = run(s0, s1, flush_interval=64, max_cells_stage5=1 << 10)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+        assert aln.end == [ref.best_i, ref.best_j]
+
+    def test_identical(self, dna):
+        s0 = dna(300, seed=53)
+        aln = run(s0, s0, flush_interval=64)
+        assert aln.raw_score == 300
+        assert aln.matches == 300
+        assert aln.gap_opens == 0
+
+    def test_distant(self, dna, homolog):
+        s0 = dna(600, seed=55)
+        s1 = homolog(s0, seed=56, sub_rate=0.3, indel_rate=0.15)
+        aln = run(s0, s1, flush_interval=128, max_cells_stage5=1 << 12)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
+    def test_unrelated(self, dna):
+        s0 = dna(250, seed=57)
+        s1 = dna(260, seed=58)
+        aln = run(s0, s1, flush_interval=64)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
+    def test_multi_strip(self, dna, homolog):
+        # forces kernel strips (R=512) in stage 1 + densify recursion
+        s0 = dna(1400, seed=59)
+        s1 = homolog(s0, seed=60)
+        aln = run(s0, s1, backend="kernel", flush_interval=512,
+                  max_cells_stage5=1 << 14)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
+
+class TestGlobalAlignment:
+    def test_global_exact(self, dna, homolog):
+        s0 = dna(380, seed=61)
+        s1 = homolog(s0, seed=62)
+        aln = run(s0, s1, AlignmentStart.SEQUENCE_1_AND_2,
+                  flush_interval=64, max_cells_stage5=1 << 10)
+        ref = oracle.dp_rows(
+            s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+            InitType.WITH_GAPS, InitType.WITH_GAPS,
+        )
+        assert aln.raw_score == ref.last_h[-1]
+        assert aln.start == [1, 1]
+        assert aln.end == [len(s0), len(s1)]
+
+    def test_global_leading_gap(self, dna):
+        # s1 = s0 with a big prefix deletion: alignment must open with a gap
+        s0 = dna(300, seed=63)
+        s1 = s0[40:].copy()
+        aln = run(s0, s1, AlignmentStart.SEQUENCE_1_AND_2,
+                  flush_interval=64)
+        ref = oracle.dp_rows(
+            s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+            InitType.WITH_GAPS, InitType.WITH_GAPS,
+        )
+        assert aln.raw_score == ref.last_h[-1]
+
+    def test_global_trailing_gap(self, dna):
+        s0 = dna(300, seed=64)
+        s1 = s0[:-50].copy()
+        aln = run(s0, s1, AlignmentStart.SEQUENCE_1_AND_2,
+                  flush_interval=64)
+        ref = oracle.dp_rows(
+            s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+            InitType.WITH_GAPS, InitType.WITH_GAPS,
+        )
+        assert aln.raw_score == ref.last_h[-1]
+
+    def test_long_internal_gap(self, dna):
+        # a 120-base internal deletion spans several special rows
+        s0 = dna(500, seed=65)
+        s1 = np.concatenate([s0[:200], s0[320:]])
+        aln = run(s0, s1, AlignmentStart.SEQUENCE_1_AND_2,
+                  flush_interval=64, max_cells_stage5=1 << 10)
+        ref = oracle.dp_rows(
+            s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+            InitType.WITH_GAPS, InitType.WITH_GAPS,
+        )
+        assert aln.raw_score == ref.last_h[-1]
+
+
+class TestRendering:
+    def test_text_roundtrip(self, dna, homolog):
+        s0 = dna(150, seed=67)
+        s1 = homolog(s0, seed=68)
+        aln = run(s0, s1, flush_interval=64)
+        text = stage6.render_text(aln, s0, s1)
+        assert "Score:" in text
+        assert str(aln.raw_score) in text
