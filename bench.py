@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: stage-1 SW wavefront GCUPS on a synthetic 1M x 1M
+pair (BASELINE config: CP000051.1 x CP000051.1 class, reference single-GPU
+= 25.82 GCUPS, README.md:87 / BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_GCUPS = 25.82  # 1M x 1M on GTX 560 Ti (TPDS2013)
+
+
+def main():
+    import jax
+    import numpy as np
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    from masa_tpu.ops import strips
+    from masa_tpu.ops.wavefront import WavefrontConfig
+    from masa_tpu.types import InitType, ScoreParams
+
+    if on_tpu:
+        cfg = WavefrontConfig(alpha=16, rs=64, chunk=16384,
+                              track_best=True, store_lastcol=False)
+        m = n = 1 << 20
+        backend = "pallas"
+    else:  # development fallback (not the benchmark of record)
+        cfg = WavefrontConfig(alpha=4, rs=1, chunk=512,
+                              track_best=True, store_lastcol=False)
+        m = n = 2048
+        backend = "scan"
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s0 = rng.choice(bases, size=m).astype(np.uint8)
+    s1 = rng.choice(bases, size=n).astype(np.uint8)
+    params = ScoreParams()
+
+    # warm-up (compile) on a single strip
+    warm_rows = min(cfg.rows, m)
+    strips.run_partition(
+        cfg, s0[:warm_rows], s1, params,
+        InitType.WITH_ZEROES, InitType.WITH_ZEROES, backend=backend,
+    )
+
+    t0 = time.time()
+    res = strips.run_partition(
+        cfg, s0, s1, params,
+        InitType.WITH_ZEROES, InitType.WITH_ZEROES, backend=backend,
+    )
+    dt = time.time() - t0
+    gcups = res.cells / dt / 1e9
+    print(json.dumps({
+        "metric": "stage1_sw_gcups_1chip",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+        "detail": {
+            "m": m, "n": n, "seconds": round(dt, 3),
+            "best_score": res.best,
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

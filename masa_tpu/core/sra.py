@@ -1,0 +1,191 @@
+"""SRA — the special rows area store: simultaneously the linear-space
+algorithm's data structure and the crash-safe checkpoint format.
+
+Mirrors the reference design (sra/SpecialRowsArea.cpp, SpecialRowsPartition
+.cpp, SpecialRow{File,RAM}.cpp): one directory per (stage, id, deep) area,
+one subdirectory per partition named by its hex coordinates, one file per
+special row.  RAM vs disk placement is budgeted proportionally; resume
+re-seeds from the last complete row; truncation drops rows behind a found
+crosspoint.
+
+Row file format (original, not the reference's): little-endian
+    magic "MSR1" | int64 row_index | int64 count | count * (int32 H,F)
+written via tmp+rename so a partial row never looks complete.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+
+import numpy as np
+
+MAGIC = b"MSR1"
+
+
+def _row_path(dirpath: str, r: int) -> str:
+    return os.path.join(dirpath, f"row.{r:010d}.bin")
+
+
+def write_row(dirpath: str, r: int, h: np.ndarray, f: np.ndarray) -> int:
+    data = np.empty((len(h), 2), np.int32)
+    data[:, 0] = h
+    data[:, 1] = f
+    raw = MAGIC + struct.pack("<qq", r, len(h)) + data.tobytes()
+    tmp = _row_path(dirpath, r) + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, _row_path(dirpath, r))
+    return len(raw)
+
+
+def read_row(dirpath: str, r: int) -> tuple[np.ndarray, np.ndarray]:
+    with open(_row_path(dirpath, r), "rb") as fh:
+        raw = fh.read()
+    if raw[:4] != MAGIC:
+        raise IOError(f"corrupt special row {r} in {dirpath}")
+    ridx, count = struct.unpack_from("<qq", raw, 4)
+    data = np.frombuffer(raw, np.int32, count * 2, offset=20).reshape(
+        count, 2
+    )
+    return data[:, 0].astype(np.int64), data[:, 1].astype(np.int64)
+
+
+class SpecialRowsPartition:
+    """Special rows of one partition, with a RAM budget and disk spill.
+
+    Implements the same protocol as stages.core.SpecialRowStore so the
+    traceback machinery is storage-agnostic."""
+
+    def __init__(self, dirpath: str, i0: int, j0: int, i1: int, j1: int,
+                 ram_limit: int = 1 << 30, disk_limit: int = 1 << 40):
+        self.dir = dirpath
+        self.i0, self.j0, self.i1, self.j1 = i0, j0, i1, j1
+        self.ram_limit = ram_limit
+        self.disk_limit = disk_limit
+        self._ram: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._disk: set[int] = set()
+        self._ram_bytes = 0
+        self._disk_bytes = 0
+        os.makedirs(dirpath, exist_ok=True)
+        self._save_meta()
+        self._scan()
+
+    def _save_meta(self):
+        tmp = os.path.join(self.dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"i0": self.i0, "j0": self.j0,
+                       "i1": self.i1, "j1": self.j1}, f)
+        os.replace(tmp, os.path.join(self.dir, "meta.json"))
+
+    def _scan(self):
+        for name in os.listdir(self.dir):
+            if name.startswith("row.") and name.endswith(".bin"):
+                self._disk.add(int(name[4:-4]))
+                self._disk_bytes += os.path.getsize(
+                    os.path.join(self.dir, name)
+                )
+
+    # --- SpecialRowStore protocol -----------------------------------
+
+    def put(self, r: int, h: np.ndarray, f: np.ndarray) -> None:
+        nbytes = 8 * len(h) + 20
+        if self._disk_bytes + nbytes <= self.disk_limit:
+            self._disk_bytes += write_row(self.dir, r, h, f)
+            self._disk.add(r)
+        elif self._ram_bytes + nbytes <= self.ram_limit:
+            self._ram[r] = (np.asarray(h, np.int64),
+                            np.asarray(f, np.int64))
+            self._ram_bytes += nbytes
+        # else: dropped — the flush ladder sized the interval so this
+        # cannot happen unless limits were lowered mid-run.
+
+    def get(self, r: int) -> tuple[np.ndarray, np.ndarray]:
+        if r in self._ram:
+            return self._ram[r]
+        return read_row(self.dir, r)
+
+    def rows(self) -> list[int]:
+        return sorted(set(self._ram) | self._disk)
+
+    def next_below(self, i: int, min_dist: int = 1) -> int | None:
+        cand = [r for r in self.rows() if r <= i - min_dist]
+        return max(cand) if cand else None
+
+    def truncate_above(self, i: int) -> None:
+        """Drop rows above the found crosspoint
+        (SpecialRowsArea::truncatePartition)."""
+        for r in [r for r in self._ram if r > i]:
+            h, f = self._ram.pop(r)
+            self._ram_bytes -= 8 * len(h) + 20
+        for r in [r for r in self._disk if r > i]:
+            try:
+                os.remove(_row_path(self.dir, r))
+            except OSError:
+                pass
+            self._disk.discard(r)
+
+    def __len__(self):
+        return len(self.rows())
+
+    # --- resume ------------------------------------------------------
+
+    def last_row(self) -> int | None:
+        """The resume point: the largest complete persisted row
+        (SpecialRowsPartition::continueFromLastRow)."""
+        return max(self._disk) if self._disk else None
+
+
+class SpecialRowsArea:
+    """A directory of partitions for one (stage, id, deep)
+    (sra/SpecialRowsArea.cpp)."""
+
+    def __init__(self, dirpath: str, ram_limit: int = 1 << 30,
+                 disk_limit: int = 1 << 40):
+        self.dir = dirpath
+        self.ram_limit = ram_limit
+        self.disk_limit = disk_limit
+        os.makedirs(dirpath, exist_ok=True)
+
+    def _pname(self, i0, j0, i1, j1) -> str:
+        return f"{i0:08X}.{j0:08X}.{i1:08X}.{j1:08X}"
+
+    def create_partition(self, i0, j0, i1, j1) -> SpecialRowsPartition:
+        return SpecialRowsPartition(
+            os.path.join(self.dir, self._pname(i0, j0, i1, j1)),
+            i0, j0, i1, j1,
+            ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+        )
+
+    def open_partition(self, i: int, j: int) -> SpecialRowsPartition | None:
+        """Find the partition containing (i, j)
+        (SpecialRowsArea::openPartition directory scan)."""
+        for name in os.listdir(self.dir):
+            meta = os.path.join(self.dir, name, "meta.json")
+            if not os.path.exists(meta):
+                continue
+            with open(meta) as f:
+                m = json.load(f)
+            if m["i0"] <= i <= m["i1"] and m["j0"] <= j <= m["j1"]:
+                return SpecialRowsPartition(
+                    os.path.join(self.dir, name),
+                    m["i0"], m["j0"], m["i1"], m["j1"],
+                    ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+                )
+        return None
+
+    def partitions(self) -> list[SpecialRowsPartition]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            meta = os.path.join(self.dir, name, "meta.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    m = json.load(f)
+                out.append(SpecialRowsPartition(
+                    os.path.join(self.dir, name),
+                    m["i0"], m["j0"], m["i1"], m["j1"],
+                    ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+                ))
+        return out

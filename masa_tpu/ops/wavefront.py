@@ -68,6 +68,7 @@ class WavefrontConfig:
     track_best: bool = True
     store_lastcol: bool = False
     interpret: bool = False   # Pallas interpreter mode (CPU tests)
+    unroll: int = 8           # inner wavefront loop unroll factor
 
     @property
     def lanes(self) -> int:
@@ -89,12 +90,16 @@ def _lane_iota(rs: int) -> jnp.ndarray:
 
 def _shift(x: jnp.ndarray, insert) -> jnp.ndarray:
     """Flat down-shift by one lane over an (RS,128) vector: out[l] = x[l-1],
-    out[0] = insert.  One lane roll + a sublane carry fix (2-D throughout —
-    Mosaic dislikes 1-D vectors)."""
+    out[0] = insert.  One lane roll + a sublane carry fix, expressed with
+    rolls and masked selects only (Mosaic has no scatter; everything stays
+    2-D)."""
+    rs = x.shape[0]
     rolled = jnp.roll(x, 1, axis=1)
-    carry = jnp.roll(x[:, -1:], 1, axis=0)  # (RS, 1)
-    carry = carry.at[0, 0].set(insert)
-    return rolled.at[:, 0:1].set(carry)
+    carry = jnp.roll(x[:, -1:], 1, axis=0)  # (RS, 1): carry[r] = x[r-1, -1]
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (rs, 1), 0) == 0
+    carry = jnp.where(row0, insert, carry)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (rs, 128), 1) == 0
+    return jnp.where(col0, carry, rolled)
 
 
 def _flush_pos(cfg: WavefrontConfig, h_true: int) -> tuple[int, int, int, int]:
@@ -173,7 +178,7 @@ def _make_step(cfg: WavefrontConfig, nj: int, h_true: int, fast: bool):
                     new_le[k] = jnp.where(at_lastcol, e_k, lc_e[k])
 
             st2 = (tuple(hs), tuple(es), hs[a - 1], r3h1, fs[a - 1], rb,
-                   jnp.asarray(bus_h_t, jnp.int32),
+                   jnp.asarray(bus_h_t, jnp.int32).reshape(1, 1),
                    tuple(new_bv), tuple(new_bt),
                    tuple(new_lh), tuple(new_le))
             return st2, hs[k_flush], fs[k_flush]
@@ -191,7 +196,8 @@ def _init_state(cfg: WavefrontConfig, corner):
     nb = a if cfg.track_best else 0
     nl = a if cfg.store_lastcol else 0
     return (
-        (z,) * a, (z,) * a, z, z, z, zz, jnp.asarray(corner, jnp.int32),
+        (z,) * a, (z,) * a, z, z, z, zz,
+        jnp.asarray(corner, jnp.int32).reshape(1, 1),
         (z,) * nb, (t0,) * nb, (z,) * nl, (z,) * nl,
     )
 
@@ -227,6 +233,15 @@ def resolve_best(best_v, best_t):
     ii, jj = i[mask], j[mask]
     order = np.lexsort((jj, ii))
     return score, int(ii[order[0]]), int(jj[order[0]])
+
+
+def pack_lanes_jnp(cfg: WavefrontConfig, vec) -> jnp.ndarray:
+    """Traced variant of the lane packing: (R,) -> (A, RS, 128)."""
+    return (
+        jnp.asarray(vec, jnp.int32)
+        .reshape(cfg.lanes, cfg.alpha)
+        .T.reshape(cfg.alpha, cfg.rs, 128)
+    )
 
 
 def pack_strip_rows(cfg: WavefrontConfig, chars: np.ndarray) -> np.ndarray:
@@ -309,6 +324,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     use ``slice_bus`` to extract the logical (nj,) bus.
     """
     assert cfg.chunk >= cfg.lanes, "chunk must cover the lane ramp"
+    assert cfg.chunk % 128 == 0, "chunk must be lane-aligned"
     C = cfg.chunk
     ng = _num_chunks(cfg, nj)
     T = cfg.steps(nj)
@@ -338,18 +354,20 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
             take = lambda n: tuple(next(it) for _ in range(n))
             hh, ee = take(a), take(a)
             r3h1, r3h2, r3f, rb = take(4)
-            bhp = next(it)[0, 0]
+            bhp = next(it)[0:1, 0:1]
             bv, bt = take(nb), take(nb)
             lh, le = take(nl), take(nl)
             return (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le)
 
         def pack_state(st):
             (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le) = st
-            scal = jnp.zeros(vec, jnp.int32).at[0, 0].set(bhp)
-            flat = (list(hh) + list(ee) + [r3h1, r3h2, r3f, rb, scal]
+            flat = (list(hh) + list(ee) + [r3h1, r3h2, r3f, rb, None]
                     + list(bv) + list(bt) + list(lh) + list(le))
             for i, v in enumerate(flat):
-                state_ref[i] = v
+                if v is None:  # the (1,1) bus_h_prev scalar slot
+                    state_ref[i, 0:1, :] = jnp.broadcast_to(bhp, (1, 128))
+                else:
+                    state_ref[i] = v
 
         st0 = jax.lax.cond(
             g == 0,
@@ -359,17 +377,56 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
 
         is_edge = jnp.logical_or(g == 0, (g + 1) * C > nj - 1)
 
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
         def run(step_fn, st_in):
-            def body(tl, st):
-                t = g * C + tl
-                b_t = b_ref[tl]
-                bh_t = bh_ref[tl]
-                bf_t = bf_ref[tl]
-                st2, h_fl, f_fl = step_fn(st, t, b_t, bh_t, bf_t)
-                bho_ref[tl] = h_fl[fr, fc]
-                bfo_ref[tl] = f_fl[fr, fc]
+            # Mosaic has no scalar VMEM access: inputs are consumed as
+            # (1,128) register rows rolled one lane per step, and bus
+            # outputs accumulate into a (1,128) register row flushed as one
+            # vector store per 128 steps.
+            nblk = C // 128
+
+            def outer(bi, st):
+                b_row0 = b_ref[pl.ds(bi, 1), :]
+                bh_row0 = bh_ref[pl.ds(bi, 1), :]
+                bf_row0 = bf_ref[pl.ds(bi, 1), :]
+                zrow = jnp.zeros((1, 128), jnp.int32)
+
+                U = cfg.unroll
+                assert 128 % U == 0
+
+                def inner(kb, carry):
+                    st, b_row, bh_row, bf_row, bufh, buff = carry
+                    for u in range(U):  # manual unroll
+                        k = kb * U + u
+                        t = g * C + bi * 128 + k
+                        st, h_fl, f_fl = step_fn(
+                            st, t,
+                            b_row[0:1, 0:1],
+                            bh_row[0:1, 0:1],
+                            bf_row[0:1, 0:1],
+                        )
+                        sel = lane128 == k
+                        bufh = jnp.where(
+                            sel, h_fl[fr : fr + 1, fc : fc + 1], bufh
+                        )
+                        buff = jnp.where(
+                            sel, f_fl[fr : fr + 1, fc : fc + 1], buff
+                        )
+                        b_row = jnp.roll(b_row, -1, axis=1)
+                        bh_row = jnp.roll(bh_row, -1, axis=1)
+                        bf_row = jnp.roll(bf_row, -1, axis=1)
+                    return (st, b_row, bh_row, bf_row, bufh, buff)
+
+                st2, _, _, _, bufh, buff = jax.lax.fori_loop(
+                    0, 128 // U, inner,
+                    (st, b_row0, bh_row0, bf_row0, zrow, zrow),
+                )
+                bho_ref[pl.ds(bi, 1), :] = bufh
+                bfo_ref[pl.ds(bi, 1), :] = buff
                 return st2
-            return jax.lax.fori_loop(0, C, body, st_in)
+
+            return jax.lax.fori_loop(0, nblk, outer, st_in)
 
         st = jax.lax.cond(
             is_edge, lambda s: run(step_edge, s), lambda s: run(step_fast, s),
@@ -390,8 +447,8 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     corner_arr = jnp.asarray(corner, jnp.int32).reshape(1)
     full_vec = pl.BlockSpec((a, cfg.rs, 128), lambda g, c: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-    chunk_spec = pl.BlockSpec((C,), lambda g, c: (g,),
-                              memory_space=pltpu.VMEM)
+    chunk2d_spec = pl.BlockSpec((C // 128, 128), lambda g, c: (g, 0),
+                                memory_space=pltpu.VMEM)
     best_spec = pl.BlockSpec((max(nb, 1), cfg.rs, 128),
                              lambda g, c: (0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -402,14 +459,14 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         num_scalar_prefetch=1,
         grid=(ng,),
         in_specs=[full_vec, full_vec, full_vec,
-                  chunk_spec, chunk_spec, chunk_spec],
-        out_specs=[chunk_spec, chunk_spec, best_spec, best_spec,
+                  chunk2d_spec, chunk2d_spec, chunk2d_spec],
+        out_specs=[chunk2d_spec, chunk2d_spec, best_spec, best_spec,
                    lc_spec, lc_spec],
         scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((ng * C,), jnp.int32),
-        jax.ShapeDtypeStruct((ng * C,), jnp.int32),
+        jax.ShapeDtypeStruct((ng * C // 128, 128), jnp.int32),
+        jax.ShapeDtypeStruct((ng * C // 128, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nb, 1), cfg.rs, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nb, 1), cfg.rs, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
@@ -420,7 +477,12 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=cfg.interpret,
-    )(corner_arr, a_lanes, init_h, init_e, b, bus_h, bus_f)
+    )(corner_arr, a_lanes, init_h, init_e,
+      b.reshape(ng * C // 128, 128),
+      bus_h.reshape(ng * C // 128, 128),
+      bus_f.reshape(ng * C // 128, 128))
+    bho = bho.reshape(ng * C)
+    bfo = bfo.reshape(ng * C)
 
     st_like = (None,) * 7 + (
         tuple(bv[k] for k in range(nb)),
