@@ -68,14 +68,14 @@ class Alignment:
     end: list = dataclasses.field(default_factory=lambda: [0, 0])
     gaps: list = dataclasses.field(default_factory=lambda: [[], []])
 
-    def add_gap(self, seq: int, pos: int) -> None:
-        """Record one gap char before 1-based position `pos` of sequence
-        `seq`.  Consecutive calls at the same position merge into a run."""
+    def add_gap(self, seq: int, pos: int, count: int = 1) -> None:
+        """Record `count` gap chars before 1-based position `pos` of
+        sequence `seq`.  Consecutive calls at the same position merge."""
         runs = self.gaps[seq]
         if runs and runs[-1].pos == pos:
-            runs[-1].len += 1
+            runs[-1].len += count
         else:
-            runs.append(GapRun(pos, 1))
+            runs.append(GapRun(pos, count))
 
     def sorted_gaps(self, seq: int) -> list:
         return sorted(self.gaps[seq], key=lambda g: g.pos)

@@ -1,0 +1,174 @@
+"""masa_tpu command-line interface — the libmasa_entry_point equivalent
+(libs/masa-core/src/libmasa/libmasa.cpp:762, getopt table :825-893).
+
+Usage:  python -m masa_tpu [options] seq0.fasta seq1.fasta
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from masa_tpu.types import AlignmentStart, ScoreParams
+
+HEADER = "masa_tpu: TPU-native long-sequence alignment engine"
+
+_STARTS = {
+    "*": AlignmentStart.ANYWHERE,
+    "1": AlignmentStart.SEQUENCE_1,
+    "2": AlignmentStart.SEQUENCE_2,
+    "+": AlignmentStart.SEQUENCE_1_OR_2,
+    "!": AlignmentStart.SEQUENCE_1_AND_2,
+}
+
+
+def _size(s: str) -> int:
+    mult = 1
+    s = s.strip().upper()
+    for suffix, m in (("K", 1 << 10), ("M", 1 << 20), ("G", 1 << 30),
+                      ("T", 1 << 40)):
+        if s.endswith(suffix):
+            mult, s = m, s[:-1]
+            break
+    return int(float(s) * mult)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="masa_tpu", description=HEADER,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("fasta", nargs=2, help="the two FASTA files")
+    # general
+    p.add_argument("--work-dir", default="work.tmp")
+    p.add_argument("--clear", action="store_true",
+                   help="wipe the work directory before starting")
+    p.add_argument("--verbose", type=int, default=1)
+    # input modifiers
+    p.add_argument("--trim", default=None,
+                   help="i0,i1,j0,j1 (1-based inclusive; 0 = no trim)")
+    p.add_argument("--clear-n", action="store_true")
+    p.add_argument("--reverse", default=None, choices=["1", "2", "both"])
+    p.add_argument("--complement", default=None,
+                   choices=["1", "2", "both"])
+    p.add_argument("--reverse-complement", default=None,
+                   choices=["1", "2", "both"])
+    # alignment mode
+    p.add_argument("--alignment-start", default="*",
+                   choices=list(_STARTS),
+                   help="* local; ! global; +/1/2 semi-global")
+    # scores
+    p.add_argument("--match", type=int, default=1)
+    p.add_argument("--mismatch", type=int, default=-3)
+    p.add_argument("--gap-open", type=int, default=3)
+    p.add_argument("--gap-ext", type=int, default=2)
+    # execution
+    p.add_argument("--stage-1", action="store_true",
+                   help="run only stage 1 (score + endpoint)")
+    p.add_argument("--no-flush", action="store_true",
+                   help="do not save special rows (disables traceback)")
+    p.add_argument("--ram-size", type=_size, default=1 << 30)
+    p.add_argument("--disk-size", type=_size, default=16 << 30)
+    p.add_argument("--no-block-pruning", action="store_true")
+    p.add_argument("--max-alignments", type=int, default=1)
+    p.add_argument("--maximum-partition", type=int, default=16)
+    p.add_argument("--stage-4-strategy", default="OPTIMIZED",
+                   choices=["ORIGINAL_MM", "ORTHOGONAL", "OPTIMIZED"])
+    p.add_argument("--output-format", default="text",
+                   choices=["text", "svg", "binary"])
+    # multi-device
+    p.add_argument("--split", type=int, default=0,
+                   help="column-shard stage 1 over N devices")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "numpy", "kernel"])
+    return p
+
+
+def _apply_modifiers(args, which: str, idx: int) -> dict:
+    out = {}
+    for flag, fields in (("reverse", ("reverse",)),
+                         ("complement", ("complement",)),
+                         ("reverse_complement", ("reverse", "complement"))):
+        v = getattr(args, flag)
+        if v in (which, "both"):
+            for f in fields:
+                out[f] = True
+    if args.clear_n:
+        out["clear_n"] = True
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(HEADER)
+
+    import dataclasses
+
+    from masa_tpu.biology.sequence import Sequence, SequenceModifiers
+    from masa_tpu.core.job import Job, JobConfig
+    from masa_tpu.ops import myers_miller as mm
+    from masa_tpu.stages import runner
+
+    params = ScoreParams(args.match, args.mismatch, args.gap_open,
+                         args.gap_ext)
+    seqs = []
+    for k, path in enumerate(args.fasta):
+        mods = SequenceModifiers(**_apply_modifiers(args, str(k + 1), k))
+        s = Sequence.from_file(path, mods)
+        seqs.append(s)
+    if args.trim:
+        t = [int(x) for x in args.trim.split(",")]
+        if t[0] or t[1]:
+            seqs[0] = seqs[0].trimmed_view(t[0] or 1, t[1] or len(seqs[0]))
+        if len(t) >= 4 and (t[2] or t[3]):
+            seqs[1] = seqs[1].trimmed_view(t[2] or 1, t[3] or len(seqs[1]))
+
+    seq0 = seqs[0].data()
+    seq1 = seqs[1].data()
+    print(f"seq0: {seqs[0].info.description} ({len(seq0)} bp)")
+    print(f"seq1: {seqs[1].info.description} ({len(seq1)} bp)")
+
+    jcfg = JobConfig(
+        work_dir=args.work_dir,
+        ram_limit=args.ram_size,
+        disk_limit=args.disk_size,
+        alignment_start=_STARTS[args.alignment_start],
+        params=params,
+        max_alignments=args.max_alignments,
+        clear=args.clear,
+        stage4_max_partition=args.maximum_partition,
+        backend=args.backend,
+    )
+    job = Job(jcfg, seqs[0].info.hash or str(len(seq0)),
+              seqs[1].info.hash or str(len(seq1)))
+
+    log = print if args.verbose else (lambda *a, **k: None)
+
+    if args.split:
+        from masa_tpu.parallel.mesh import make_mesh
+        from masa_tpu.parallel.sharded import sharded_stage1
+
+        mesh = make_mesh(args.split)
+        res = sharded_stage1(seq0, seq1, mesh, params=params)
+        print(f"stage1 (sharded over {args.split} devices): "
+              f"best={res.best}")
+        return 0
+
+    best = runner.stage1(job, seq0, seq1, log=log)
+    if args.stage_1 or args.no_flush:
+        b = best.best
+        print(f"best score: {b.score} at ({b.i},{b.j})")
+        return 0
+
+    fmt = args.output_format if args.output_format != "binary" else "text"
+    aln = runner.execute_traceback(job, seq0, seq1, seqs, fmt=fmt, log=log)
+    print(f"alignment score: {aln.raw_score}  "
+          f"(matches={aln.matches} mismatches={aln.mismatches} "
+          f"gaps={aln.gap_opens}/{aln.gap_extensions})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,6 +26,38 @@ from masa_tpu.types import INF, CrosspointType, ScoreParams
 NEG = -INF
 
 
+def _traceback_native(bindings, seq0, seq1, type_s, type_e, params,
+                      alignment, pos0, pos1) -> int:
+    """Native C++ constrained DP + run-length traceback (same tie-break
+    preferences as the Python path: diagonal, then E, then F)."""
+    seg, ops = bindings.traceback_ops(seq0, seq1, type_s, type_e, params)
+    i = j = 0  # local consumed counts
+    for code, length in ops:
+        opened = bool(code & 4)
+        kind = code & 3
+        if kind == 0:  # diagonal run
+            eq = int(
+                (seq0[i : i + length] == seq1[j : j + length]).sum()
+            )
+            alignment.matches += eq
+            alignment.mismatches += length - eq
+            i += length
+            j += length
+        elif kind == 1:  # up: gap chars in seq1
+            alignment.add_gap(1, pos1(j), length)
+            alignment.gap_extensions += length
+            if opened:
+                alignment.gap_opens += 1
+            i += length
+        else:  # left: gap chars in seq0
+            alignment.add_gap(0, pos0(i), length)
+            alignment.gap_extensions += length
+            if opened:
+                alignment.gap_opens += 1
+            j += length
+    return seg
+
+
 def constrained_dp(
     seq0: np.ndarray,
     seq1: np.ndarray,
@@ -102,6 +134,19 @@ def traceback_segment(
         pos0 = lambda k: i0 + 1 + k
     if pos1 is None:
         pos1 = lambda k: j0 + 1 + k
+
+    if alignment is not None:
+        try:
+            from masa_tpu.native import bindings
+
+            if bindings.available():
+                return _traceback_native(
+                    bindings, seq0, seq1, type_s, type_e, params,
+                    alignment, pos0, pos1,
+                )
+        except ImportError:
+            pass
+
     H, E, F = constrained_dp(seq0, seq1, type_s, params)
     go, ge = params.gap_open, params.gap_ext
 
@@ -151,9 +196,9 @@ def traceback_segment(
             state = CrosspointType.MATCH
 
     assert (i, j) == (0, 0)
-    if int(state) != int(type_s):
-        # The path must arrive in the pinned start state; with exact
-        # integer DP this always holds when scores were consistent.
+    if int(state) not in (int(type_s), int(CrosspointType.MATCH)):
+        # The path must arrive in the pinned start state (or in H, which
+        # is the free closure of a pinned gap: H(0,0)=0 in every case).
         raise AssertionError("traceback arrived in wrong start state")
 
     # Emit in forward order.

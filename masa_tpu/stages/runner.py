@@ -1,0 +1,307 @@
+"""Persistent stage functions: the pipeline wired to Job/SRA/crosspoints
+artifacts with crash-safe resume — the equivalents of
+stage{1..6}/sw_stage{1..6}.cpp plus the executeTraceback sequencing of
+libmasa.cpp:644-655.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+from masa_tpu.biology import alignment as balign
+from masa_tpu.biology.sequence import Sequence
+from masa_tpu.core.best_score import BestScoreList
+from masa_tpu.core.job import Job
+from masa_tpu.models.scoring import border_cells
+from masa_tpu.ops import myers_miller as mm
+from masa_tpu.stages import core, pipeline, stage6 as st6
+from masa_tpu.types import (
+    AlignmentStart,
+    Crosspoint,
+    CrosspointType,
+    InitType,
+    Recurrence,
+)
+
+STAGE_1, STAGE_2, STAGE_3, STAGE_4, STAGE_5, STAGE_6 = range(1, 7)
+
+
+class _OffsetStore:
+    """Adapter translating partition-local row indices to absolute ones and
+    mirroring progress into the status file."""
+
+    def __init__(self, part, offset: int, job: Job | None = None):
+        self.part = part
+        self.offset = offset
+        self.job = job
+
+    def put(self, r, h, f):
+        self.part.put(self.offset + r, h, f)
+        if self.job:
+            self.job.status.update(last_special_row=self.offset + r)
+
+    def get(self, r):
+        return self.part.get(r)
+
+    def rows(self):
+        return self.part.rows()
+
+    def next_below(self, i, min_dist=1):
+        return self.part.next_below(i, min_dist)
+
+    def truncate_above(self, i):
+        return self.part.truncate_above(i)
+
+
+def _pcfg(job: Job, kernel_cfg=None) -> pipeline.PipelineConfig:
+    return pipeline.PipelineConfig(
+        params=job.cfg.params,
+        alignment_start=job.cfg.alignment_start,
+        backend=job.cfg.backend,
+        kernel_cfg=kernel_cfg,
+        max_cells_stage5=job.cfg.stage5_max_cells,
+    )
+
+
+def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
+           kernel_cfg=None, log=print) -> BestScoreList:
+    """Forward wavefront over the whole matrix with persisted special rows;
+    resumable from the last flushed row (sw_stage1.cpp:210-217)."""
+    t0 = time.time()
+    m, n = len(seq0), len(seq1)
+    pcfg = _pcfg(job, kernel_cfg)
+    kcfg = kernel_cfg or core.default_config()
+    ivs = job.calculate_flush_intervals(m, n, align_to=kcfg.rows)
+    cpf = job.crosspoints_file(STAGE_1, 0)
+
+    import os
+
+    if os.path.exists(cpf.path):
+        try:
+            cps = cpf.load()
+            if cpf.complete and cps:
+                log("stage1: already executed (resume)")
+                best = BestScoreList(job.cfg.max_alignments)
+                for c in cps:
+                    best.add(c.i, c.j, c.score)
+                return best
+        except Exception:
+            pass
+
+    area = job.sra_area(STAGE_1, 0)
+    part = area.open_partition(0, 0) or area.create_partition(0, 0, m, n)
+    r0 = part.last_row() or 0
+    store = _OffsetStore(part, r0, job)
+
+    row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
+    rec = pipeline._recurrence(pcfg.alignment_start)
+    first_row = None
+    first_col = None
+    if r0:
+        log(f"stage1: resuming from special row {r0}")
+        rh, rf = part.get(r0)
+        first_row = (rh, rf)
+        ch, cg = border_cells(m + 1, col_init, job.cfg.params)
+        first_col = (ch[r0:], cg[r0:])
+        row_init = InitType.CUSTOM
+        col_init_eff = InitType.CUSTOM
+    else:
+        col_init_eff = col_init
+
+    res = core.forward_pass(
+        seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
+        first_row=first_row, first_col=first_col,
+        special_every=ivs[0], store=store,
+        backend=job.cfg.backend, cfg=kernel_cfg,
+    )
+
+    best = BestScoreList(job.cfg.max_alignments)
+    if rec == Recurrence.SMITH_WATERMAN:
+        best.add(r0 + res.best_i, res.best_j, res.best)
+        prev = job.status.best
+        if r0 and prev[2] > res.best:
+            best.add(*prev)
+    else:
+        best.add(m, n, int(res.last_h[n]))
+        part.put(m, res.last_h, res.last_f)
+
+    cpf.set_autosave()
+    for s in best:
+        cpf.write(Crosspoint(s.i, s.j, s.score, CrosspointType.MATCH))
+    cpf.close()
+    b = best.best
+    job.status.update(stage=STAGE_1, best=(b.i, b.j, b.score))
+    dt = time.time() - t0
+    log(f"stage1: best={b.score} at ({b.i},{b.j})  "
+        f"{res.cells/1e6:.1f} Mcells in {dt:.2f}s "
+        f"({res.cells/dt/1e9:.2f} GCUPS)")
+    return best
+
+
+def stage2(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
+           kernel_cfg=None, log=print) -> list[Crosspoint]:
+    """Reverse goal-score marching at the stage-1 special rows
+    (sw_stage2.cpp:237)."""
+    t0 = time.time()
+    pcfg = _pcfg(job, kernel_cfg)
+    out_cpf = job.crosspoints_file(STAGE_2, aln_id)
+
+    import os
+
+    if os.path.exists(out_cpf.path):
+        try:
+            cps = out_cpf.load()
+            if out_cpf.complete and cps:
+                log("stage2: already executed (resume)")
+                return cps
+        except Exception:
+            pass
+
+    endpoint = job.crosspoints_file(STAGE_1, aln_id).load()[0]
+    area = job.sra_area(STAGE_1, 0)
+    part = area.open_partition(endpoint.i, endpoint.j)
+    if part is None:
+        raise RuntimeError("stage2: no stage-1 special rows area")
+    row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
+    cps = core.reverse_march(
+        seq0, seq1, job.cfg.params, endpoint, part,
+        row_init, col_init, pcfg.alignment_start,
+        backend=job.cfg.backend, cfg=kernel_cfg,
+    )
+    out_cpf.crosspoints = cps
+    out_cpf.save()
+    job.status.update(stage=STAGE_2)
+    log(f"stage2: {len(cps)} crosspoints in {time.time()-t0:.2f}s")
+    return cps
+
+
+def stage3(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
+           kernel_cfg=None, log=print) -> list[Crosspoint]:
+    """Recursive densification inside partitions (sw_stage3.cpp:264)."""
+    t0 = time.time()
+    pcfg = _pcfg(job, kernel_cfg)
+    out_cpf = job.crosspoints_file(STAGE_3, aln_id)
+
+    import os
+
+    if os.path.exists(out_cpf.path):
+        try:
+            cps = out_cpf.load()
+            if out_cpf.complete and cps:
+                log("stage3: already executed (resume)")
+                return cps
+        except Exception:
+            pass
+
+    cps = job.crosspoints_file(STAGE_2, aln_id).load()
+    cps = pipeline.stage3_densify(seq0, seq1, pcfg, cps)
+    out_cpf.crosspoints = cps
+    out_cpf.save()
+    job.status.update(stage=STAGE_3)
+    log(f"stage3: {len(cps)} crosspoints in {time.time()-t0:.2f}s")
+    return cps
+
+
+def stage4(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
+           strategy=mm.SplitStrategy.OPTIMIZED, log=print
+           ) -> list[Crosspoint]:
+    """Myers-Miller mid-splitting until <= maximum-partition
+    (sw_stage4.cpp:883)."""
+    t0 = time.time()
+    out_cpf = job.crosspoints_file(STAGE_4, aln_id)
+
+    import os
+
+    if os.path.exists(out_cpf.path):
+        try:
+            cps = out_cpf.load()
+            if out_cpf.complete and cps:
+                log("stage4: already executed (resume)")
+                return cps
+        except Exception:
+            pass
+
+    cps = job.crosspoints_file(STAGE_3, aln_id).load()
+    mps = job.cfg.stage4_max_partition
+    if mps:
+        try:
+            from masa_tpu.native import bindings
+
+            if bindings.available():
+                cps = bindings.reduce_partitions(
+                    seq0, seq1, cps, job.cfg.params, mps
+                )
+            else:
+                cps = mm.reduce_partitions(
+                    seq0, seq1, cps, job.cfg.params, mps, strategy
+                )
+        except ImportError:
+            cps = mm.reduce_partitions(
+                seq0, seq1, cps, job.cfg.params, mps, strategy
+            )
+    out_cpf.crosspoints = cps
+    out_cpf.save()
+    job.status.update(stage=STAGE_4)
+    log(f"stage4: {len(cps)} crosspoints in {time.time()-t0:.2f}s")
+    return cps
+
+
+def stage5(job: Job, seq0: np.ndarray, seq1: np.ndarray,
+           sequences: list[Sequence] | None = None, aln_id: int = 0,
+           log=print) -> balign.Alignment:
+    """Exact traceback per partition + score invariant; writes the CGFF
+    binary (sw_stage5.cpp:322,464)."""
+    t0 = time.time()
+    pcfg = _pcfg(job)
+    src = STAGE_4 if job.cfg.stage4_max_partition else STAGE_3
+    cps = job.crosspoints_file(src, aln_id).load()
+    aln = pipeline.stage5_emit(seq0, seq1, pcfg, cps, sequences)
+    balign.write_cgff(job.path(f"alignment.{aln_id:02d}.cgff"), aln)
+    job.status.update(stage=STAGE_5)
+    log(f"stage5: score={aln.raw_score} verified in {time.time()-t0:.2f}s")
+    return aln
+
+
+def stage6(job: Job, seq0: np.ndarray, seq1: np.ndarray,
+           aln: balign.Alignment, aln_id: int = 0, fmt: str = "text",
+           log=print) -> str:
+    """Render + independent re-check (sw_stage6.cpp:992)."""
+    st6.recheck(aln, seq0, seq1, job.cfg.params)
+    if fmt == "text":
+        out = st6.render_text(aln, seq0, seq1)
+        path = job.path(f"alignment.{aln_id:02d}.txt")
+    else:
+        from masa_tpu.stages.svg import render_svg
+
+        out = render_svg(aln, len(seq0), len(seq1))
+        path = job.path(f"alignment.{aln_id:02d}.svg")
+    with open(path, "w") as f:
+        f.write(out)
+    job.status.update(stage=STAGE_6)
+    log(f"stage6: wrote {path}")
+    return out
+
+
+def execute_traceback(job: Job, seq0, seq1, sequences=None,
+                      kernel_cfg=None, fmt: str = "text", log=print
+                      ) -> balign.Alignment:
+    """stages 2..6 for each best score (libmasa.cpp:644-655)."""
+    stage2(job, seq0, seq1, 0, kernel_cfg, log)
+    stage3(job, seq0, seq1, 0, kernel_cfg, log)
+    stage4(job, seq0, seq1, 0, log=log)
+    aln = stage5(job, seq0, seq1, sequences, 0, log)
+    stage6(job, seq0, seq1, aln, 0, fmt, log)
+    return aln
+
+
+def align_job(job: Job, seq0, seq1, sequences=None, kernel_cfg=None,
+              fmt: str = "text", log=print) -> balign.Alignment:
+    """The full run: stage 1 + traceback (libmasa_entry_point sequencing,
+    libmasa.cpp:1351-1385)."""
+    stage1(job, seq0, seq1, kernel_cfg, log)
+    return execute_traceback(job, seq0, seq1, sequences, kernel_cfg, fmt,
+                             log)

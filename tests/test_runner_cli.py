@@ -1,0 +1,104 @@
+"""Persistent stage runner (resume) + CLI end-to-end tests."""
+
+import numpy as np
+import pytest
+
+from masa_tpu.core.job import Job, JobConfig
+from masa_tpu.ops import oracle
+from masa_tpu.stages import runner
+from masa_tpu.types import AlignmentStart, ScoreParams
+
+P = ScoreParams()
+
+
+def write_fasta(path, desc, seq):
+    with open(path, "wb") as f:
+        f.write(b">" + desc.encode() + b"\n")
+        f.write(bytes(seq) + b"\n")
+
+
+@pytest.fixture
+def jobdir(tmp_path):
+    return str(tmp_path / "work.tmp")
+
+
+class TestRunner:
+    def test_full_run_and_resume(self, dna, homolog, jobdir):
+        s0 = dna(400, seed=101)
+        s1 = homolog(s0, seed=102)
+        cfg = JobConfig(work_dir=jobdir, ram_limit=1 << 20,
+                        disk_limit=1 << 20, stage4_max_partition=0,
+                        backend="numpy")
+        job = Job(cfg)
+        aln = runner.align_job(job, s0, s1, log=lambda *a: None)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
+        # second run resumes from artifacts without recomputing
+        job2 = Job(cfg)
+        best = runner.stage1(job2, s0, s1, log=lambda *a: None)
+        assert best.best.score == ref.best
+        cps = runner.stage2(job2, s0, s1, log=lambda *a: None)
+        assert cps[-1].score == ref.best
+
+    def test_info_mismatch_detected(self, dna, jobdir):
+        cfg = JobConfig(work_dir=jobdir)
+        Job(cfg, "aaa", "bbb")
+        with pytest.raises(RuntimeError, match="different sequence"):
+            Job(cfg, "aaa", "ccc")
+
+    def test_stage4_enabled(self, dna, homolog, jobdir):
+        s0 = dna(300, seed=103)
+        s1 = homolog(s0, seed=104)
+        cfg = JobConfig(work_dir=jobdir, stage4_max_partition=16,
+                        backend="numpy")
+        job = Job(cfg)
+        aln = runner.align_job(job, s0, s1, log=lambda *a: None)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
+
+class TestCLI:
+    def test_local(self, dna, homolog, tmp_path, capsys):
+        from masa_tpu.cli import main
+
+        s0 = dna(250, seed=105)
+        s1 = homolog(s0, seed=106)
+        f0, f1 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+        write_fasta(f0, "seq a", s0)
+        write_fasta(f1, "seq b", s1)
+        rc = main([f0, f1, "--work-dir", str(tmp_path / "w"),
+                   "--backend", "numpy", "--maximum-partition", "0"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        ref = oracle.dp_rows(s0, s1, P)
+        assert f"alignment score: {ref.best}" in out
+
+    def test_global_stage1_only(self, dna, tmp_path, capsys):
+        from masa_tpu.cli import main
+
+        s0 = dna(200, seed=107)
+        f0, f1 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+        write_fasta(f0, "a", s0)
+        write_fasta(f1, "b", s0)
+        rc = main([f0, f1, "--work-dir", str(tmp_path / "w"),
+                   "--alignment-start", "!", "--stage-1",
+                   "--backend", "numpy"])
+        assert rc == 0
+        assert "best score: 200" in capsys.readouterr().out
+
+    def test_reverse_complement(self, dna, tmp_path, capsys):
+        from masa_tpu.cli import main
+
+        s0 = dna(150, seed=108)
+        comp = dict(zip(b"ACGT", b"TGCA"))
+        rc0 = bytes(comp[c] for c in s0[::-1])
+        f0, f1 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+        write_fasta(f0, "a", s0)
+        with open(f1, "wb") as f:
+            f.write(b">b\n" + rc0 + b"\n")
+        ret = main([f0, f1, "--work-dir", str(tmp_path / "w"),
+                    "--reverse-complement", "2", "--stage-1",
+                    "--backend", "numpy"])
+        assert ret == 0
+        assert "best score: 150" in capsys.readouterr().out

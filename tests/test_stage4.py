@@ -1,0 +1,62 @@
+"""Stage-4 Myers-Miller splitting: all three strategies agree and keep the
+stage-5 invariants."""
+
+import numpy as np
+import pytest
+
+from masa_tpu.ops import myers_miller as mm
+from masa_tpu.ops import oracle
+from masa_tpu.ops.wavefront import WavefrontConfig
+from masa_tpu.stages import pipeline, stage6
+from masa_tpu.types import AlignmentStart, ScoreParams
+
+P = ScoreParams()
+KCFG = WavefrontConfig(alpha=4, rs=1, chunk=512)
+
+
+def march_to_cps(s0, s1, start=AlignmentStart.ANYWHERE):
+    pcfg = pipeline.PipelineConfig(alignment_start=start, kernel_cfg=KCFG,
+                                   flush_interval=128,
+                                   max_cells_stage5=1 << 14)
+    res, endpoint = pipeline.stage1_pass(s0, s1, pcfg)
+    cps = pipeline.stage2_march(s0, s1, pcfg, endpoint, res.specials)
+    cps = pipeline.stage3_densify(s0, s1, pcfg, cps)
+    return pcfg, cps
+
+
+class TestStage4:
+    @pytest.mark.parametrize("strategy", list(mm.SplitStrategy))
+    def test_strategies_agree_and_verify(self, dna, homolog, strategy):
+        s0 = dna(500, seed=81)
+        s1 = homolog(s0, seed=82)
+        pcfg, cps = march_to_cps(s0, s1)
+        reduced = mm.reduce_partitions(s0, s1, cps, P, max_partition=16,
+                                       strategy=strategy)
+        assert reduced[0] == cps[0] and reduced[-1] == cps[-1]
+        for a, b in zip(reduced, reduced[1:]):
+            assert max(b.i - a.i, b.j - a.j) <= 16 or b.i - a.i < 2
+        # stage 5 over the reduced partitions must still verify
+        aln = pipeline.stage5_emit(s0, s1, pcfg, reduced)
+        stage6.recheck(aln, s0, s1, P)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
+    def test_differential(self, dna, homolog):
+        s0 = dna(400, seed=83)
+        s1 = homolog(s0, seed=84, indel_rate=0.12)
+        _, cps = march_to_cps(s0, s1)
+        results = [
+            mm.reduce_partitions(s0, s1, cps, P, 16, strat)
+            for strat in mm.SplitStrategy
+        ]
+        assert results[0] == results[1] == results[2]
+
+    def test_gap_heavy(self, dna):
+        # long internal deletion forces gapped crosspoints through splits
+        s0 = dna(400, seed=85)
+        s1 = np.concatenate([s0[:150], s0[290:]])
+        pcfg, cps = march_to_cps(s0, s1,
+                                 AlignmentStart.SEQUENCE_1_AND_2)
+        reduced = mm.reduce_partitions(s0, s1, cps, P, max_partition=16)
+        aln = pipeline.stage5_emit(s0, s1, pcfg, reduced)
+        stage6.recheck(aln, s0, s1, P)
