@@ -140,6 +140,7 @@ def main(argv=None) -> int:
         clear=args.clear,
         stage4_max_partition=args.maximum_partition,
         backend=args.backend,
+        block_pruning=not args.no_block_pruning,
     )
     job = Job(jcfg, seqs[0].info.hash or str(len(seq0)),
               seqs[1].info.hash or str(len(seq1)))

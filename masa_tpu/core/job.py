@@ -36,6 +36,7 @@ class JobConfig:
     stage4_max_partition: int = 16
     stage5_max_cells: int = 1 << 18
     backend: str = "auto"
+    block_pruning: bool = True
 
 
 class Job:

@@ -13,12 +13,18 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from masa_tpu.core import pruning
 from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import wavefront as wf
 from masa_tpu.types import INF, InitType, Recurrence, ScoreParams
+
+
+def pl_cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 @dataclasses.dataclass
@@ -32,6 +38,7 @@ class PartitionResult:
     col_e: np.ndarray | None
     specials: dict[int, tuple[np.ndarray, np.ndarray]]
     cells: int = 0
+    pruned_cells: int = 0
 
 
 def _border_vec(init, params, length, start, custom):
@@ -59,6 +66,7 @@ def run_partition(
     special_every: int = 0,
     on_special_row: Callable | None = None,
     stop_check: Callable | None = None,
+    prune: bool = False,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -66,20 +74,27 @@ def run_partition(
     ``special_every`` must be a multiple of the strip height (or 0);
     ``on_special_row(dp_row_index, bus_h, bus_f)`` fires at that cadence.
     ``stop_check(strip_result_dict, dp_row_index)`` may return True to halt
-    early (goal-score support).
+    early (goal-score support).  ``prune`` enables block pruning (SW with
+    best tracking only): strips run on a power-of-2-quantized chunk window
+    computed from the previous bus; pruned columns carry -INF buses.
     """
     m, nj = len(seq0), len(seq1)
     assert nj >= 1
     R = cfg.rows
     L = cfg.lanes
+    C = cfg.chunk
     if special_every:
         assert special_every % R == 0, "flush cadence must align to strips"
 
     T = cfg.steps(nj)
-    if backend == "pallas":
-        blen = wf.padded_len(cfg, nj)
-    else:
-        blen = T
+    ng = pl_cdiv(T, C)
+    # one extra chunk of padding so pruning windows can slice freely
+    # (jax.lax.dynamic_slice CLAMPS out-of-range starts — the buffers must
+    # cover the largest window slice exactly)
+    blen = (ng + 1) * C
+    prune = prune and cfg.track_best and (
+        cfg.recurrence == Recurrence.SMITH_WATERMAN
+    ) and not cfg.store_lastcol
 
     b = np.full(blen, wf.B_SENTINEL, dtype=np.int32)
     b[:nj] = np.asarray(seq1, np.int32)
@@ -114,6 +129,8 @@ def run_partition(
 
     specials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     cells = 0
+    pruned_cells = 0
+    neg_pack = None
     i0 = 0
     while i0 < m:
         hs = min(R, m - i0)
@@ -124,41 +141,81 @@ def run_partition(
         corner_h, _ = _border_vec(col_init, params, 1, i0, first_col)
         corner = int(corner_h[0])
 
-        if backend == "pallas":
-            out = wf.strip_pallas(
-                cfg, a_lanes, b, bus_h, bus_f, init_h, init_e, corner,
-                nj, hs,
+        # --- block pruning window (SW): [wa, wa+wn) chunks ------------
+        wa, wn = 0, ng
+        skip_strip = False
+        if prune:
+            busmax = pruning.chunk_maxima(
+                np.asarray(bus_h[: ng * C]), ng, C
             )
-            new_bh = wf.slice_bus(cfg, out["bus_h"], nj, hs)
-            new_bf = wf.slice_bus(cfg, out["bus_f"], nj, hs)
-            pad = blen - nj
-            bus_h = jnp.concatenate(
-                [new_bh, jnp.full(pad, -INF, jnp.int32)]
+            wl, wr = pruning.pruning_window(
+                busmax, best, i0, m, nj, C, params,
+                border_max=int(ich.max()),
             )
-            bus_f = jnp.concatenate(
-                [new_bf, jnp.full(pad, -INF, jnp.int32)]
-            )
-        else:
-            out = wf.strip_scan(
-                cfg, a_lanes, b, bus_h, bus_f, init_h, init_e, corner,
-                nj, hs,
-            )
-            pad = blen - nj
-            bus_h = jnp.concatenate(
-                [out["bus_h"], jnp.full(pad, -INF, jnp.int32)]
-            )
-            bus_f = jnp.concatenate(
-                [out["bus_f"], jnp.full(pad, -INF, jnp.int32)]
-            )
-        cells += hs * nj
+            if wl == wr:
+                skip_strip = True
+                pruned_cells += hs * nj
+                bus_h = jnp.full(blen, -INF, jnp.int32)
+                bus_f = jnp.full(blen, -INF, jnp.int32)
+                out = None
+            else:
+                wn = 1 << (wr - wl - 1).bit_length()
+                wn = min(wn, ng)
+                wa = max(0, min(wl, ng - wn))
 
-        if cfg.track_best:
-            s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
-            if s > best:
-                best, best_i, best_j = s, i0 + bi + 1, bj + 1
-        if cfg.store_lastcol:
-            col_h[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_h"])
-            col_e[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_e"])
+        if not skip_strip:
+            windowed = prune and (wa > 0 or wn < ng)
+            if windowed:
+                nj_w = wn * C
+                off = wa * C
+                b_w = jax.lax.dynamic_slice(b, (off,), (nj_w + C,))
+                bh_w = jax.lax.dynamic_slice(bus_h, (off,), (nj_w + C,))
+                bf_w = jax.lax.dynamic_slice(bus_f, (off,), (nj_w + C,))
+                if wa > 0:
+                    # -INF wall at the window's left edge
+                    # (clearPrunedBlocks semantics)
+                    if neg_pack is None:
+                        nh, ne = wf.pack_border_cols(
+                            cfg, np.full(R, -INF), np.full(R, -INF)
+                        )
+                        neg_pack = (jnp.asarray(nh), jnp.asarray(ne))
+                    ih_w, ie_w = neg_pack
+                    corner_w = -INF
+                else:
+                    ih_w, ie_w, corner_w = init_h, init_e, corner
+                pruned_cells += max(0, hs * (nj - nj_w))
+            else:
+                nj_w, off = nj, 0
+                b_w, bh_w, bf_w = b, bus_h, bus_f
+                ih_w, ie_w, corner_w = init_h, init_e, corner
+
+            if backend == "pallas":
+                plen = wf.padded_len(cfg, nj_w)
+                out = wf.strip_pallas(
+                    cfg, a_lanes, b_w[:plen], bh_w[:plen], bf_w[:plen],
+                    ih_w, ie_w, corner_w, nj_w, hs,
+                )
+                new_bh = wf.slice_bus(cfg, out["bus_h"], nj_w, hs)
+                new_bf = wf.slice_bus(cfg, out["bus_f"], nj_w, hs)
+            else:
+                out = wf.strip_scan(
+                    cfg, a_lanes, b_w, bh_w, bf_w,
+                    ih_w, ie_w, corner_w, nj_w, hs,
+                )
+                new_bh, new_bf = out["bus_h"], out["bus_f"]
+
+            neg_full = jnp.full(blen, -INF, jnp.int32)
+            bus_h = jax.lax.dynamic_update_slice(neg_full, new_bh, (off,))
+            bus_f = jax.lax.dynamic_update_slice(neg_full, new_bf, (off,))
+            cells += hs * nj_w
+
+            if cfg.track_best:
+                s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
+                if s > best:
+                    best, best_i, best_j = s, i0 + bi + 1, off + bj + 1
+            if cfg.store_lastcol:
+                col_h[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_h"])
+                col_e[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_e"])
 
         i0 += hs
         is_special = special_every and i0 % special_every == 0 and i0 < m
@@ -169,7 +226,7 @@ def run_partition(
                 specials[i0] = (bh, bf)
             if on_special_row:
                 on_special_row(i0, bh, bf)
-        if stop_check and stop_check(out, i0):
+        if stop_check and out is not None and stop_check(out, i0):
             break
 
     last_h = np.empty(nj + 1, np.int64)
@@ -190,4 +247,5 @@ def run_partition(
         col_e=col_e,
         specials=specials,
         cells=cells,
+        pruned_cells=pruned_cells,
     )

@@ -128,6 +128,7 @@ def forward_pass(
     backend: str = "auto",
     cfg: wf.WavefrontConfig | None = None,
     track_best: bool = True,
+    prune: bool = False,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`."""
@@ -193,6 +194,7 @@ def forward_pass(
         backend=default_backend(),
         special_every=special_every,
         on_special_row=on_special if special_every else None,
+        prune=prune,
     )
     lf = res.last_f.copy()
     lf[0] = col_f_syn[m]

@@ -117,6 +117,7 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         first_row=first_row, first_col=first_col,
         special_every=ivs[0], store=store,
         backend=job.cfg.backend, cfg=kernel_cfg,
+        prune=job.cfg.block_pruning,
     )
 
     best = BestScoreList(job.cfg.max_alignments)
