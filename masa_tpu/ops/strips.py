@@ -67,6 +67,8 @@ def run_partition(
     on_special_row: Callable | None = None,
     stop_check: Callable | None = None,
     prune: bool = False,
+    first_col_reader=None,
+    lastcol_writer=None,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -115,10 +117,11 @@ def run_partition(
         best = int(row_h.max())
         best_j = int(np.argmax(row_h))
         best_i = 0
-        ch0, _ = _border_vec(col_init, params, m + 1, 0, first_col)
-        if int(ch0.max()) > best:
-            best = int(ch0.max())
-            best_i, best_j = int(np.argmax(ch0)), 0
+        if first_col_reader is None:
+            ch0, _ = _border_vec(col_init, params, m + 1, 0, first_col)
+            if int(ch0.max()) > best:
+                best = int(ch0.max())
+                best_i, best_j = int(np.argmax(ch0)), 0
 
     col_h = np.empty(m + 1, np.int64) if cfg.store_lastcol else None
     col_e = np.empty(m + 1, np.int64) if cfg.store_lastcol else None
@@ -131,15 +134,23 @@ def run_partition(
     cells = 0
     pruned_cells = 0
     neg_pack = None
+    stream_corner = int(row_h[0])  # H(i0, 0) carried between strip reads
     i0 = 0
     while i0 < m:
         hs = min(R, m - i0)
         a_lanes = jnp.asarray(wf.pack_strip_rows(cfg, seq0[i0 : i0 + hs]))
-        ich, ice = _border_vec(col_init, params, hs, i0 + 1, first_col)
+        if first_col_reader is not None:
+            # streamed left border (multi-process column split): one
+            # strip's worth of neighbor last-column cells per read
+            ich, ice = first_col_reader.read(hs)
+            corner = stream_corner
+            stream_corner = int(ich[-1])
+        else:
+            ich, ice = _border_vec(col_init, params, hs, i0 + 1, first_col)
+            corner_h, _ = _border_vec(col_init, params, 1, i0, first_col)
+            corner = int(corner_h[0])
         init_h, init_e = wf.pack_border_cols(cfg, ich, ice)
         init_h, init_e = jnp.asarray(init_h), jnp.asarray(init_e)
-        corner_h, _ = _border_vec(col_init, params, 1, i0, first_col)
-        corner = int(corner_h[0])
 
         # --- block pruning window (SW): [wa, wa+wn) chunks ------------
         wa, wn = 0, ng
@@ -214,8 +225,13 @@ def run_partition(
                 if s > best:
                     best, best_i, best_j = s, i0 + bi + 1, off + bj + 1
             if cfg.store_lastcol:
-                col_h[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_h"])
-                col_e[i0 + 1 : i0 + 1 + hs] = np.asarray(out["lastcol_e"])
+                lch = np.asarray(out["lastcol_h"])
+                lce = np.asarray(out["lastcol_e"])
+                col_h[i0 + 1 : i0 + 1 + hs] = lch
+                col_e[i0 + 1 : i0 + 1 + hs] = lce
+                if lastcol_writer is not None:
+                    lastcol_writer.write(lch.astype(np.int32),
+                                         lce.astype(np.int32))
 
         i0 += hs
         is_special = special_every and i0 % special_every == 0 and i0 < m
@@ -231,8 +247,11 @@ def run_partition(
 
     last_h = np.empty(nj + 1, np.int64)
     last_f = np.empty(nj + 1, np.int64)
-    ch, ce = _border_vec(col_init, params, 1, i0, first_col)
-    last_h[0] = ch[0]
+    if first_col_reader is not None:
+        last_h[0] = stream_corner
+    else:
+        ch, ce = _border_vec(col_init, params, 1, i0, first_col)
+        last_h[0] = ch[0]
     last_f[0] = -INF
     last_h[1:] = np.asarray(bus_h[:nj])
     last_f[1:] = np.asarray(bus_f[:nj])
