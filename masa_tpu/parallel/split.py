@@ -20,7 +20,7 @@ from masa_tpu.io import cells as cio
 from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import strips
 from masa_tpu.ops import wavefront as wf
-from masa_tpu.types import InitType, Recurrence, ScoreParams
+from masa_tpu.types import INF, InitType, Recurrence, ScoreParams
 
 
 def split_points(n: int, weights: list[float]) -> list[int]:
@@ -55,6 +55,138 @@ class PartResult:
     last_h: np.ndarray  # (width,) the part's final-row H (cells only)
     last_f: np.ndarray
     cells: int
+    specials: object | None = None      # SpecialRowStore (slab-local)
+    first_col: tuple | None = None      # stored (H, E) boundary column
+    j0: int = 0
+    j1: int = 0
+
+
+class _CapturingReader(cio.CellsReader):
+    """Tee a border stream into RAM so traceback can re-read it (the
+    reference persists the loaded column through the SRA)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.hs = []
+        self.gs = []
+
+    def read(self, n):
+        h, g = self.inner.read(n)
+        self.hs.append(np.asarray(h))
+        self.gs.append(np.asarray(g))
+        return h, g
+
+    def column(self, row0_h: int):
+        h = np.concatenate([[row0_h]] + self.hs).astype(np.int64)
+        g = np.concatenate([[-INF]] + self.gs).astype(np.int64)
+        return h, g
+
+    def close(self):
+        self.inner.close()
+
+
+def march_slab(
+    seq0: np.ndarray,
+    slab: np.ndarray,
+    params: ScoreParams,
+    endpoint_local,  # Crosspoint in slab-local coordinates
+    specials,        # SpecialRowStore protocol, slab-local columns
+    first_col,       # (H, E) (m+1,) boundary column arrays, or None
+    sw_anywhere: bool,
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+):
+    """Stage-2 marching confined to one slab: matches at special rows
+    inside the slab and, when the optimal path exits through the slab's
+    left boundary, against the stored boundary column (the reference's
+    loaded-column matching, AlignerManager::findGoalCell semantics for
+    vertical cuts).  Returns slab-local crosspoints ascending; the first
+    one sits on the boundary (j == 0) if the path continues leftward."""
+    from masa_tpu.models.scoring import border_cells as _bc
+    from masa_tpu.models.scoring import match_column
+    from masa_tpu.stages import core
+    from masa_tpu.types import (
+        AlignmentStart, Crosspoint, CrosspointType, InitType, MatchType,
+    )
+
+    n_loc = len(slab)
+    cps = [endpoint_local]
+    cp = endpoint_local
+    row0_h, _ = _bc(n_loc + 1, InitType.WITH_ZEROES, params)
+    row0_h = row0_h.astype(np.int64)
+
+    while True:
+        if sw_anywhere and cp.score <= 0:
+            break
+        if cp.i == 0 or cp.j == 0:
+            break
+        r = specials.next_below(cp.i, 1)
+        if r is None or r == 0:
+            r = 0
+            fh = row0_h
+            ff = np.full(n_loc + 1, -INF, np.int64)
+        else:
+            fh, ff = specials.get(r)
+        goal_anywhere = sw_anywhere and cp.score <= (cp.j + 1) * params.match
+        goal = cp.score + (
+            params.gap_open if cp.type != CrosspointType.MATCH else 0
+        )
+
+        width0 = min(cp.j, max(4096, 2 * (cp.i - r)))
+        j_low = cp.j - width0
+        found = None
+        while True:
+            at_edge = j_low <= 0
+            rm = core.reverse_pass_and_match(
+                seq0, slab, params, cp, r, fh, ff, max(j_low, 0),
+                goal_anywhere, backend=backend, cfg=cfg,
+                want_rev_col=at_edge and first_col is not None,
+            )
+            if rm.start_found:
+                si, sj = rm.start
+                found = Crosspoint(si, sj, 0, CrosspointType.MATCH)
+                break
+            if rm.crosspoint is not None:
+                found = rm.crosspoint
+                break
+            if not at_edge:
+                j_low = cp.j - 2 * (cp.j - j_low)
+                continue
+            # full slab width failed: the path exits through the boundary
+            # column — match against the stored first column over rows
+            # [r, cp.i] (reverse row p = cp.i - global row).
+            if first_col is None or rm.rev_col is None:
+                raise RuntimeError(
+                    f"Backtrace lost in slab at row {r}"
+                )
+            rev_col_h, rev_col_e = rm.rev_col
+            hb = cp.i - r
+            fwd_h_col = np.asarray(first_col[0], np.int64)[
+                r : cp.i + 1][::-1]
+            fwd_e_col = np.asarray(first_col[1], np.int64)[
+                r : cp.i + 1][::-1]
+            mres = match_column(
+                np.asarray(rev_col_h, np.int64)[: hb + 1],
+                np.asarray(rev_col_e, np.int64)[: hb + 1],
+                fwd_h_col, fwd_e_col, goal, params.gap_open,
+            )
+            if not mres.found:
+                raise RuntimeError(
+                    f"Backtrace lost at slab boundary (rows {r}..{cp.i})"
+                )
+            i_star = cp.i - mres.k
+            t = (CrosspointType.MATCH if mres.type == MatchType.ALIGNED
+                 else CrosspointType.GAP_1)
+            found = Crosspoint(i_star, 0, int(mres.score), t)
+            break
+
+        cp = found
+        cps.append(cp)
+        specials.truncate_above(cp.i)
+        if cp.j == 0:
+            break
+
+    return list(reversed(cps))
 
 
 def run_part_stage1(
@@ -68,15 +200,18 @@ def run_part_stage1(
     flush_url: str | None = None,
     backend: str = "scan",
     buffered: bool = True,
+    special_every: int = 0,
 ) -> PartResult:
     """Stage 1 over one vertical slab.  load_url supplies the left border
-    (from part-1); flush_url receives this part's last column."""
-    from masa_tpu.stages.core import default_config
+    (from part-1); flush_url receives this part's last column.  With
+    special_every set, slab-local special rows and the captured boundary
+    column are kept for pipelined traceback."""
+    from masa_tpu.stages import core as score
 
     m = len(seq0)
     j0, j1 = points[part], points[part + 1]
     slab = np.ascontiguousarray(seq1[j0:j1])
-    cfg = cfg or default_config()
+    cfg = cfg or score.default_config()
     cfg = dataclasses.replace(
         cfg,
         recurrence=Recurrence.SMITH_WATERMAN,
@@ -86,18 +221,30 @@ def run_part_stage1(
 
     reader = None
     writer = None
+    capture = None
     if load_url:
         reader = cio.open_reader(load_url)
         if buffered:
             reader = cio.BufferedCellsReader(reader, chunk=cfg.rows,
                                              total=m)
+        if special_every:
+            reader = capture = _CapturingReader(reader)
     if flush_url:
         writer = cio.open_writer(flush_url)
         if buffered:
             writer = cio.BufferedCellsWriter(writer)
 
-    # first row: zeros for SW local alignment over every slab
-    row_h, _ = border_cells(j1 - j0 + 1, InitType.WITH_ZEROES, params)
+    store = score.SpecialRowStore() if special_every else None
+
+    def on_special(r, bus_h, bus_f):
+        h_full = np.empty(len(slab) + 1, np.int64)
+        f_full = np.empty(len(slab) + 1, np.int64)
+        h_full[0] = (capture.hs and capture.hs[-1][-1]) if capture else 0
+        f_full[0] = -INF
+        h_full[1:] = bus_h
+        f_full[1:] = bus_f
+        store.put(r, h_full, f_full)
+
     res = strips.run_partition(
         cfg, seq0, slab, params,
         InitType.WITH_ZEROES,
@@ -106,6 +253,8 @@ def run_part_stage1(
         backend=backend,
         first_col_reader=reader,
         lastcol_writer=writer,
+        special_every=special_every,
+        on_special_row=on_special if special_every else None,
     )
     if writer:
         writer.close()
@@ -118,6 +267,10 @@ def run_part_stage1(
         last_h=np.asarray(res.last_h[1:]),
         last_f=np.asarray(res.last_f[1:]),
         cells=res.cells,
+        specials=store,
+        first_col=capture.column(0) if capture else None,
+        j0=j0,
+        j1=j1,
     )
 
 
@@ -144,6 +297,46 @@ def run_split_serial(
             buffered=False,
         ))
     return out
+
+
+def pipelined_traceback(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    parts: list[PartResult],
+    params: ScoreParams = ScoreParams(),
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+):
+    """Stage-2 pipelined across slabs right-to-left
+    (executeTracebackPipelined, libmasa.cpp:659-696): each part marches
+    within its slab; when the path exits through the slab boundary, the
+    boundary crosspoint hands off to the left neighbor.  Returns global
+    crosspoints ascending."""
+    from masa_tpu.types import Crosspoint, CrosspointType
+
+    best_k = max(range(len(parts)), key=lambda k: parts[k].best)
+    p = parts[best_k]
+    cp = Crosspoint(p.best_i, p.best_j, p.best, CrosspointType.MATCH)
+    k = best_k
+    all_cps: list = []
+    while True:
+        part = parts[k]
+        local_ep = Crosspoint(cp.i, cp.j - part.j0, cp.score, cp.type)
+        slab = np.ascontiguousarray(seq1[part.j0 : part.j1])
+        local = march_slab(
+            seq0, slab, params, local_ep, part.specials,
+            part.first_col if k > 0 else None,
+            sw_anywhere=True, backend=backend, cfg=cfg,
+        )
+        glob = [Crosspoint(c.i, c.j + part.j0, c.score, c.type)
+                for c in local]
+        all_cps = glob[:-1] + all_cps if all_cps else glob
+        first = glob[0]
+        if first.j > part.j0 or k == 0 or first.score <= 0:
+            break
+        cp = first
+        k -= 1
+    return all_cps
 
 
 def run_split_processes(

@@ -228,6 +228,9 @@ class ReverseMatch:
     crosspoint: Crosspoint | None
     start_found: bool = False
     start: tuple[int, int] | None = None
+    # (H, E) of the reverse pass along its far column (the slab boundary),
+    # indexed by reverse row p = cp.i - global_row; only when requested.
+    rev_col: tuple | None = None
 
 
 def reverse_pass_and_match(
@@ -242,6 +245,7 @@ def reverse_pass_and_match(
     goal_anywhere: bool,
     backend: str = "auto",
     cfg: wf.WavefrontConfig | None = None,
+    want_rev_col: bool = False,
 ) -> ReverseMatch:
     """One reverse partition: from crosspoint `cp` up to `cut_row`,
     columns [j_low, cp.j], matched against the stored forward cut.
@@ -287,13 +291,14 @@ def reverse_pass_and_match(
         rev_last_f[0] = _border_f_value(col_init, hb, params)
         best, best_pq = _np_best(rseq0, rseq1, params, row_init, col_init,
                                  goal) if goal_anywhere else (NEG, (0, 0))
+        rev_col = (res.col_h, res.col_e) if want_rev_col else None
     else:
         kcfg = cfg or default_config()
         kcfg = dataclasses.replace(
             kcfg,
             recurrence=Recurrence.NEEDLEMAN_WUNSCH,
             track_best=goal_anywhere,
-            store_lastcol=False,
+            store_lastcol=want_rev_col,
         )
         res = strips.run_partition(
             kcfg, rseq0, rseq1, params, row_init, col_init,
@@ -304,6 +309,9 @@ def reverse_pass_and_match(
         rev_last_f[0] = _border_f_value(col_init, hb, params)
         best = res.best
         best_pq = (res.best_i, res.best_j)
+        rev_col = (res.col_h, res.col_e) if want_rev_col else None
+    if width == 0:
+        rev_col = None
 
     # SW start detection: the pinned-state reverse matrix is bounded above
     # by the goal; best == goal locates the alignment start.
@@ -325,12 +333,12 @@ def reverse_pass_and_match(
     )
     if not mres.found:
         if mres.type in (MatchType.ERROR_SUM_MATCH, MatchType.ERROR_SUM_GAP) \
-                and j_low == 0:
+                and j_low == 0 and not want_rev_col:
             raise RuntimeError(
                 f"Backtrace lost at row {cut_row} (match overshoot "
                 f"{mres.type})"
             )
-        return ReverseMatch(None)
+        return ReverseMatch(None, rev_col=rev_col)
     j_star = cj - mres.k
     new_type = (
         CrosspointType.MATCH
@@ -338,7 +346,8 @@ def reverse_pass_and_match(
         else CrosspointType.GAP_2
     )
     return ReverseMatch(
-        Crosspoint(cut_row, j_star, int(mres.score), new_type)
+        Crosspoint(cut_row, j_star, int(mres.score), new_type),
+        rev_col=rev_col,
     )
 
 

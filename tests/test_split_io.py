@@ -117,3 +117,37 @@ class TestAlignerPool:
         n1.dispatch_file(str(src), "stage4")
         out = n0.receive_file("stage4", str(tmp_path))
         assert open(out).read().startswith("START")
+
+
+class TestPipelinedTraceback:
+    @pytest.mark.parametrize("nparts", [2, 3])
+    def test_full_alignment_across_slabs(self, dna, homolog, tmp_path,
+                                         nparts):
+        from masa_tpu.parallel.split import (
+            auto_urls, pipelined_traceback, run_part_stage1, split_points,
+        )
+        from masa_tpu.stages import pipeline, stage6
+
+        s0 = dna(800, seed=131)
+        s1 = homolog(s0, seed=132)
+        points = split_points(len(s1), [1.0] * nparts)
+        urls = auto_urls(str(tmp_path), nparts)
+        parts = []
+        for k in range(nparts):
+            parts.append(run_part_stage1(
+                s0, s1, k, points, P, CFG,
+                load_url=urls[k - 1] if k > 0 else None,
+                flush_url=urls[k] if k < nparts - 1 else None,
+                backend="scan", buffered=False, special_every=512,
+            ))
+        cps = pipelined_traceback(s0, s1, parts, P)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert cps[-1].score == ref.best
+        assert cps[0].score == 0
+        # stages 3+5 on the merged crosspoints produce the exact alignment
+        pcfg = pipeline.PipelineConfig(kernel_cfg=CFG,
+                                       max_cells_stage5=1 << 14)
+        cps = pipeline.stage3_densify(s0, s1, pcfg, cps)
+        aln = pipeline.stage5_emit(s0, s1, pcfg, cps)
+        stage6.recheck(aln, s0, s1, P)
+        assert aln.raw_score == ref.best
