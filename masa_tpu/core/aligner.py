@@ -1,0 +1,189 @@
+"""The aligner extension contract and its two implementations.
+
+Mirrors the reference's portability architecture: IAligner
+(libmasa/IAligner.hpp:149-387) is what an extension implements; the
+manager (core/manager.py) drives it.  Like MASA's CUDAlign/OpenMP/...
+extensions, two engines implement the contract here:
+
+  * TPUAligner — the Pallas/scan wavefront (the CUDAligner analogue,
+    src/CUDAligner.cpp).
+  * CPUAligner — the NumPy oracle (the CPUBlockProcessor analogue,
+    processors/CPUBlockProcessor.cpp:113-174), the differential baseline.
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+
+import numpy as np
+
+from masa_tpu.core.capabilities import AlignerCapabilities
+from masa_tpu.models.scoring import match_column
+from masa_tpu.ops import oracle, strips
+from masa_tpu.ops import wavefront as wf
+from masa_tpu.types import (
+    INF,
+    InitType,
+    MatchResult,
+    Partition,
+    Recurrence,
+    ScoreParams,
+)
+
+
+@dataclasses.dataclass
+class AlignerStats:
+    cells: int = 0
+    pruned_cells: int = 0
+    partitions: int = 0
+
+
+class Aligner(abc.ABC):
+    """The IAligner life-cycle: initialize -> set_sequences ->
+    align_partition* -> unset_sequences -> finalize."""
+
+    def __init__(self):
+        self.manager = None
+        self.stats = AlignerStats()
+        self._seq0 = None
+        self._seq1 = None
+
+    @abc.abstractmethod
+    def get_capabilities(self) -> AlignerCapabilities: ...
+
+    def set_manager(self, manager) -> None:
+        self.manager = manager
+
+    def get_fork_weights(self, count: int) -> list[float]:
+        return [1.0] * count
+
+    def initialize(self) -> None:
+        pass
+
+    def finalize(self) -> None:
+        pass
+
+    def set_sequences(self, seq0: np.ndarray, seq1: np.ndarray) -> None:
+        self._seq0 = np.asarray(seq0, np.uint8)
+        self._seq1 = np.asarray(seq1, np.uint8)
+
+    def unset_sequences(self) -> None:
+        self._seq0 = self._seq1 = None
+
+    @abc.abstractmethod
+    def align_partition(self, partition: Partition) -> None:
+        """Compute the partition, dispatching rows/columns/scores through
+        the manager."""
+
+    def match_last_column(self, rev_h, rev_g, fwd_h, fwd_g, goal: int
+                          ) -> MatchResult:
+        """The Myers-Miller matching fallback
+        (AbstractAligner::matchLastColumn -> AlignerUtils::matchColumn)."""
+        return match_column(rev_h, rev_g, fwd_h, fwd_g, goal,
+                            self.manager.params.gap_open)
+
+    def clear_statistics(self) -> None:
+        self.stats = AlignerStats()
+
+
+class TPUAligner(Aligner):
+    """The TPU wavefront extension (strip kernel; scan twin on CPU)."""
+
+    def __init__(self, cfg: wf.WavefrontConfig | None = None,
+                 backend: str | None = None):
+        super().__init__()
+        from masa_tpu.stages.core import default_backend, default_config
+
+        self.cfg = cfg or default_config()
+        self.backend = backend or default_backend()
+
+    def get_capabilities(self) -> AlignerCapabilities:
+        return AlignerCapabilities()
+
+    def align_partition(self, partition: Partition) -> None:
+        mgr = self.manager
+        p = partition
+        sub0 = self._seq0[p.i0 : p.i1]
+        sub1 = self._seq1[p.j0 : p.j1]
+        cfg = dataclasses.replace(
+            self.cfg,
+            recurrence=mgr.recurrence,
+            track_best=mgr.must_dispatch_scores(),
+            store_lastcol=mgr.must_dispatch_last_column(),
+            match=mgr.params.match,
+            mismatch=mgr.params.mismatch,
+            gap_open=mgr.params.gap_open,
+            gap_ext=mgr.params.gap_ext,
+        )
+        iv = mgr.get_special_row_interval()
+        if iv:
+            iv = max(((iv + cfg.rows - 1) // cfg.rows) * cfg.rows, cfg.rows)
+
+        def on_row(r, bus_h, bus_f):
+            mgr.dispatch_row(p.i0 + r, bus_h, bus_f)
+
+        def stop(out, rows_done, strip_rows):
+            if cfg.track_best:
+                s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
+                strip_top = rows_done - strip_rows
+                mgr.dispatch_score(p.i0 + strip_top + bi + 1,
+                                   p.j0 + bj + 1, s)
+            return not mgr.must_continue()
+
+        res = strips.run_partition(
+            cfg, sub0, sub1, mgr.params,
+            mgr.get_first_row_init_type(), mgr.get_first_column_init_type(),
+            first_row=mgr.receive_first_row(),
+            first_col=mgr.receive_first_column(),
+            backend=self.backend,
+            special_every=iv,
+            on_special_row=on_row if iv else None,
+            stop_check=stop,
+            prune=mgr.must_prune_blocks(),
+        )
+        self.stats.cells += res.cells
+        self.stats.pruned_cells += res.pruned_cells
+        self.stats.partitions += 1
+        mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
+        if cfg.store_lastcol:
+            mgr.dispatch_last_column(p.j1, res.col_h, res.col_e)
+        if cfg.track_best:
+            mgr.dispatch_score(p.i0 + res.best_i, p.j0 + res.best_j,
+                               res.best)
+
+
+class CPUAligner(Aligner):
+    """Scalar oracle extension — the differential baseline."""
+
+    def get_capabilities(self) -> AlignerCapabilities:
+        caps = AlignerCapabilities()
+        caps.block_pruning = False
+        caps.maximum_seq0_len = 1 << 20
+        caps.maximum_seq1_len = 1 << 20
+        return caps
+
+    def align_partition(self, partition: Partition) -> None:
+        mgr = self.manager
+        p = partition
+        sub0 = self._seq0[p.i0 : p.i1]
+        sub1 = self._seq1[p.j0 : p.j1]
+        iv = mgr.get_special_row_interval()
+        rows = tuple(range(iv, p.height + 1, iv)) if iv else ()
+        res = oracle.dp_rows(
+            sub0, sub1, mgr.params, mgr.recurrence,
+            mgr.get_first_row_init_type(), mgr.get_first_column_init_type(),
+            first_row=mgr.receive_first_row(),
+            first_col=mgr.receive_first_column(),
+            special_rows=rows,
+        )
+        self.stats.cells += p.height * p.width
+        self.stats.partitions += 1
+        for r, (h, f) in res.specials.items():
+            mgr.dispatch_row(p.i0 + r, h[1:], f[1:])
+        mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
+        if mgr.must_dispatch_last_column():
+            mgr.dispatch_last_column(p.j1, res.col_h, res.col_e)
+        if mgr.must_dispatch_scores():
+            mgr.dispatch_score(p.i0 + res.best_i, p.j0 + res.best_j,
+                               res.best)

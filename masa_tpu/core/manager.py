@@ -1,0 +1,195 @@
+"""AlignerManager: the core side of the aligner contract (IManager,
+libmasa/IManager.hpp:90-319; impl common/AlignerManager.cpp).
+
+Per-partition configuration (recurrence, special-row cadence, border init
+types, goal score, pruning) and the dispatch funnel the aligner feeds
+(rows -> special-row store, last column -> goal matching, scores ->
+best-score list with goal stop)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from masa_tpu.core.best_score import BestScoreList
+from masa_tpu.models.scoring import border_cells, match_column
+from masa_tpu.stages.core import SpecialRowStore, border_gap_values
+from masa_tpu.types import (
+    INF,
+    Crosspoint,
+    CrosspointType,
+    InitType,
+    MatchType,
+    Partition,
+    Recurrence,
+    ScoreParams,
+    StartType,
+)
+
+
+class AlignerManager:
+    def __init__(self, aligner, params: ScoreParams = ScoreParams()):
+        self.aligner = aligner
+        self.params = params
+        aligner.set_manager(self)
+        # per-partition configuration
+        self.recurrence = Recurrence.SMITH_WATERMAN
+        self.special_row_interval = 0
+        self.block_pruning = False
+        self.first_row_init = InitType.WITH_ZEROES
+        self.first_col_init = InitType.WITH_ZEROES
+        self._first_row = None
+        self._first_col = None
+        self.super_partition: Partition | None = None
+        # dispatch sinks
+        self.special_rows: SpecialRowStore | None = None
+        self.best_scores = BestScoreList()
+        self.goal_score: int | None = None
+        self.goal_base_row = None  # (h, f) stored cut for goal matching
+        self._goal_cell: Crosspoint | None = None
+        self._stopped = False
+        self.last_row = None
+        self.last_column = None
+
+    # --- configuration (the IManager getters) -------------------------
+
+    def set_recurrence_type(self, rec: Recurrence) -> None:
+        self.recurrence = rec
+
+    def set_special_row_interval(self, iv: int) -> None:
+        self.special_row_interval = iv
+
+    def set_block_pruning(self, on: bool) -> None:
+        self.block_pruning = on and self.aligner.get_capabilities(
+        ).block_pruning
+
+    def set_special_rows_store(self, store: SpecialRowStore | None) -> None:
+        self.special_rows = store
+
+    def set_first_row(self, init: InitType, data=None) -> None:
+        self.first_row_init = init
+        self._first_row = data
+
+    def set_first_column(self, init: InitType, data=None) -> None:
+        self.first_col_init = init
+        self._first_col = data
+
+    def set_goal_score(self, score: int, base_row=None) -> None:
+        """Stop when `score` is matched — against the stored cut row (the
+        stage-2 matching) or anywhere (best score hit)."""
+        self.goal_score = score
+        self.goal_base_row = base_row
+        self._goal_cell = None
+
+    def get_special_row_interval(self) -> int:
+        return self.special_row_interval
+
+    def get_first_row_init_type(self) -> InitType:
+        return self.first_row_init
+
+    def get_first_column_init_type(self) -> InitType:
+        return self.first_col_init
+
+    def get_super_partition(self) -> Partition:
+        return self.super_partition
+
+    def receive_first_row(self):
+        return self._first_row
+
+    def receive_first_column(self):
+        return self._first_col
+
+    # --- must* predicates (IManager.hpp:278-313) -----------------------
+
+    def must_continue(self) -> bool:
+        return not self._stopped
+
+    def must_dispatch_scores(self) -> bool:
+        return (self.recurrence == Recurrence.SMITH_WATERMAN
+                or self.goal_score is not None)
+
+    def must_dispatch_last_column(self) -> bool:
+        return self.last_column_wanted
+
+    def must_prune_blocks(self) -> bool:
+        return self.block_pruning
+
+    last_column_wanted = False
+
+    # --- dispatch funnel (AlignerManager.cpp:334-450) ------------------
+
+    def dispatch_row(self, row: int, bus_h, bus_f) -> None:
+        if self.special_rows is None:
+            return
+        n = len(bus_h)
+        h_full = np.empty(n + 1, np.int64)
+        f_full = np.empty(n + 1, np.int64)
+        ch, _ = self._col_border(row)
+        h_full[0] = ch
+        f_full[0] = -INF
+        h_full[1:] = bus_h
+        f_full[1:] = bus_f
+        self.special_rows.put(row, h_full, f_full)
+        if self.goal_base_row is not None:
+            self._match_goal(row, h_full, f_full)
+
+    def dispatch_last_row(self, row: int, last_h, last_f) -> None:
+        self.last_row = (row, np.asarray(last_h), np.asarray(last_f))
+        if self.goal_base_row is not None and self._goal_cell is None:
+            self._match_goal(row, np.asarray(last_h, np.int64),
+                             np.asarray(last_f, np.int64))
+
+    def dispatch_last_column(self, col: int, col_h, col_e) -> None:
+        self.last_column = (col, np.asarray(col_h), np.asarray(col_e))
+
+    def dispatch_score(self, i: int, j: int, score: int) -> None:
+        self.best_scores.add(i, j, score)
+        if self.goal_score is not None and score >= self.goal_score:
+            self._stopped = True
+
+    def _col_border(self, row: int):
+        if self.first_col_init == InitType.CUSTOM:
+            return int(self._first_col[0][row]), -INF
+        h, _ = border_cells(1, self.first_col_init, self.params, start=row)
+        return int(h[0]), -INF
+
+    def _match_goal(self, row: int, h_full, f_full) -> None:
+        base_h, base_f = self.goal_base_row
+        mres = match_column(
+            h_full, f_full,
+            np.asarray(base_h, np.int64), np.asarray(base_f, np.int64),
+            self.goal_score, self.params.gap_open,
+        )
+        if mres.found:
+            t = (CrosspointType.MATCH if mres.type == MatchType.ALIGNED
+                 else CrosspointType.GAP_2)
+            self._goal_cell = Crosspoint(row, mres.k, int(mres.score), t)
+            self._stopped = True
+
+    def get_next_crosspoint(self) -> Crosspoint | None:
+        return self._goal_cell
+
+    def is_found_crosspoint(self) -> bool:
+        return self._goal_cell is not None
+
+    # --- orchestration (AlignerManager::alignPartition) ----------------
+
+    def align_partition(self, partition: Partition,
+                        start_type: StartType = StartType.MATCH) -> None:
+        """Configure pinned-state borders from the start type and run the
+        aligner (AlignerManager.cpp:91-168)."""
+        self._stopped = False
+        if self.first_row_init != InitType.CUSTOM:
+            self.first_row_init = (
+                InitType.WITH_GAPS_OPENED
+                if start_type == StartType.GAP_H
+                else self.first_row_init
+            )
+        if self.first_col_init != InitType.CUSTOM:
+            self.first_col_init = (
+                InitType.WITH_GAPS_OPENED
+                if start_type == StartType.GAP_V
+                else self.first_col_init
+            )
+        if self.super_partition is None:
+            self.super_partition = partition
+        self.aligner.align_partition(partition)

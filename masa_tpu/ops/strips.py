@@ -75,8 +75,9 @@ def run_partition(
 
     ``special_every`` must be a multiple of the strip height (or 0);
     ``on_special_row(dp_row_index, bus_h, bus_f)`` fires at that cadence.
-    ``stop_check(strip_result_dict, dp_row_index)`` may return True to halt
-    early (goal-score support).  ``prune`` enables block pruning (SW with
+    ``stop_check(strip_result_dict, rows_done, strip_rows)`` may return
+    True to halt early (goal-score support); the strip covered DP rows
+    (rows_done - strip_rows, rows_done].  ``prune`` enables block pruning (SW with
     best tracking only): strips run on a power-of-2-quantized chunk window
     computed from the previous bus; pruned columns carry -INF buses.
     """
@@ -235,14 +236,13 @@ def run_partition(
 
         i0 += hs
         is_special = special_every and i0 % special_every == 0 and i0 < m
-        if is_special or (on_special_row and i0 == m):
+        if is_special:
             bh = np.asarray(bus_h[:nj])
             bf = np.asarray(bus_f[:nj])
-            if is_special:
-                specials[i0] = (bh, bf)
+            specials[i0] = (bh, bf)
             if on_special_row:
                 on_special_row(i0, bh, bf)
-        if stop_check and out is not None and stop_check(out, i0):
+        if stop_check and out is not None and stop_check(out, i0, hs):
             break
 
     last_h = np.empty(nj + 1, np.int64)

@@ -1,0 +1,54 @@
+"""Timer, RecurrentTimer, INI config system."""
+
+import io
+import time
+
+from masa_tpu.utils.config import load_config, parse_size
+from masa_tpu.utils.timer import RecurrentTimer, Timer
+
+
+class TestTimer:
+    def test_events(self):
+        t = Timer()
+        t.create_event("A")
+        t.init()
+        time.sleep(0.01)
+        t.event_record("A")
+        buf = io.StringIO()
+        total = t.print_statistics(buf, cells=1000000)
+        assert total >= 10
+        assert "MCUPS" in buf.getvalue()
+
+    def test_recurrent(self):
+        hits = []
+        with RecurrentTimer(0.02, lambda: hits.append(1)):
+            time.sleep(0.1)
+        assert len(hits) >= 2
+
+
+class TestConfig:
+    def test_parse_size(self):
+        assert parse_size("512") == 512
+        assert parse_size("4K") == 4096
+        assert parse_size("1.5G") == 3 << 29
+
+    def test_ini(self, tmp_path):
+        p = tmp_path / "masa.cfg"
+        p.write_text(
+            "[global]\nram-size = 2G\nblock-pruning = no\n"
+            "[stage4]\nmaximum-partition = 32\n"
+        )
+        cfg = load_config(str(p))
+        assert cfg.ram_size == 2 << 30
+        assert cfg.block_pruning is False
+        assert cfg.stages[4].maximum_partition == 32
+
+    def test_apply(self, tmp_path):
+        from masa_tpu.core.job import JobConfig
+        from masa_tpu.utils.config import apply_to_job_config
+
+        p = tmp_path / "masa.cfg"
+        p.write_text("[global]\nram-size = 2G\n")
+        jcfg = JobConfig()
+        apply_to_job_config(load_config(str(p)), jcfg)
+        assert jcfg.ram_limit == 2 << 30
