@@ -95,13 +95,18 @@ def march_slab(
     sw_anywhere: bool,
     backend: str = "auto",
     cfg: wf.WavefrontConfig | None = None,
+    known: set | None = None,
 ):
     """Stage-2 marching confined to one slab: matches at special rows
     inside the slab and, when the optimal path exits through the slab's
     left boundary, against the stored boundary column (the reference's
     loaded-column matching, AlignerManager::findGoalCell semantics for
     vertical cuts).  Returns slab-local crosspoints ascending; the first
-    one sits on the boundary (j == 0) if the path continues leftward."""
+    one sits on the boundary (j == 0) if the path continues leftward.
+
+    `known` (speculative traceback): stop as soon as a found crosspoint is
+    already in the set — the caller splices the speculated chain (the
+    already-computed check of sw_stage2.cpp:151-182)."""
     from masa_tpu.models.scoring import border_cells as _bc
     from masa_tpu.models.scoring import match_column
     from masa_tpu.stages import core
@@ -182,6 +187,8 @@ def march_slab(
 
         cp = found
         cps.append(cp)
+        if known and tuple(cp) in known:
+            break
         specials.truncate_above(cp.i)
         if cp.j == 0:
             break
@@ -337,6 +344,85 @@ def pipelined_traceback(
         cp = first
         k -= 1
     return all_cps
+
+
+def speculative_traceback(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    parts: list[PartResult],
+    params: ScoreParams = ScoreParams(),
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+):
+    """Incremental speculative traceback (TPDS2016;
+    executeTracebackPredicted, libmasa.cpp:698-757): every part marches
+    speculatively from its own stage-1 best score (in production these run
+    concurrently with the confirmed pipeline); the confirmation pass
+    marches from the true entry only until it hits a speculated
+    crosspoint, then splices the speculated chain.
+
+    Returns (crosspoints, reused_count) — reused_count is the number of
+    crosspoints taken from speculation instead of recomputation."""
+    import copy
+
+    from masa_tpu.types import Crosspoint, CrosspointType
+
+    best_k = max(range(len(parts)), key=lambda k: parts[k].best)
+
+    # --- speculative phase (parallel across parts in deployment) -------
+    spec: dict[int, list] = {}
+    for k in range(best_k):
+        p = parts[k]
+        if not (p.j0 < p.best_j <= p.j1) or p.best <= 0:
+            continue
+        ep = Crosspoint(p.best_i, p.best_j - p.j0, p.best,
+                        CrosspointType.MATCH)
+        slab = np.ascontiguousarray(seq1[p.j0 : p.j1])
+        try:
+            spec[k] = march_slab(
+                seq0, slab, params, ep,
+                copy.deepcopy(p.specials),
+                p.first_col if k > 0 else None,
+                sw_anywhere=True, backend=backend, cfg=cfg,
+            )
+        except RuntimeError:
+            pass  # failed speculation is discarded, never fatal
+
+    # --- confirmation pass ---------------------------------------------
+    p = parts[best_k]
+    cp = Crosspoint(p.best_i, p.best_j, p.best, CrosspointType.MATCH)
+    k = best_k
+    all_cps: list = []
+    reused = 0
+    while True:
+        part = parts[k]
+        local_ep = Crosspoint(cp.i, cp.j - part.j0, cp.score, cp.type)
+        slab = np.ascontiguousarray(seq1[part.j0 : part.j1])
+        known = (
+            {tuple(c) for c in spec[k]} if k in spec else None
+        )
+        local = march_slab(
+            seq0, slab, params, local_ep, part.specials,
+            part.first_col if k > 0 else None,
+            sw_anywhere=True, backend=backend, cfg=cfg,
+            known=known,
+        )
+        if known and local and tuple(local[0]) in known:
+            # splice the speculated prefix (everything left of the hit)
+            chain = spec[k]
+            hit = next(i for i, c in enumerate(chain)
+                       if tuple(c) == tuple(local[0]))
+            reused += hit + 1
+            local = chain[: hit + 1] + local[1:]
+        glob = [Crosspoint(c.i, c.j + part.j0, c.score, c.type)
+                for c in local]
+        all_cps = glob[:-1] + all_cps if all_cps else glob
+        first = glob[0]
+        if first.j > part.j0 or k == 0 or first.score <= 0:
+            break
+        cp = first
+        k -= 1
+    return all_cps, reused
 
 
 def run_split_processes(

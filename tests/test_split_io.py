@@ -151,3 +151,61 @@ class TestPipelinedTraceback:
         aln = pipeline.stage5_emit(s0, s1, pcfg, cps)
         stage6.recheck(aln, s0, s1, P)
         assert aln.raw_score == ref.best
+
+
+class TestSpeculativeTraceback:
+    def test_reuses_speculation(self, dna, tmp_path):
+        """Near-identical pair: each slab's local best lies on the global
+        optimal path, so speculation is confirmed and spliced."""
+        from masa_tpu.parallel.split import (
+            auto_urls, run_part_stage1, speculative_traceback,
+            split_points,
+        )
+        from masa_tpu.stages import pipeline, stage6
+
+        s0 = dna(900, seed=151)
+        s1 = s0.copy()
+        nparts = 3
+        points = split_points(len(s1), [1.0] * nparts)
+        urls = auto_urls(str(tmp_path), nparts)
+        parts = []
+        for k in range(nparts):
+            parts.append(run_part_stage1(
+                s0, s1, k, points, P, CFG,
+                load_url=urls[k - 1] if k > 0 else None,
+                flush_url=urls[k] if k < nparts - 1 else None,
+                backend="scan", buffered=False, special_every=512,
+            ))
+        cps, reused = speculative_traceback(s0, s1, parts, P)
+        assert reused > 0, "speculation should be confirmed on identity"
+        assert cps[-1].score == 900
+        assert cps[0].score == 0
+        pcfg = pipeline.PipelineConfig(kernel_cfg=CFG,
+                                       max_cells_stage5=1 << 14)
+        cps2 = pipeline.stage3_densify(s0, s1, pcfg, cps)
+        aln = pipeline.stage5_emit(s0, s1, pcfg, cps2)
+        stage6.recheck(aln, s0, s1, P)
+        assert aln.raw_score == 900
+
+    def test_correct_when_speculation_misses(self, dna, homolog, tmp_path):
+        from masa_tpu.parallel.split import (
+            auto_urls, run_part_stage1, speculative_traceback,
+            split_points,
+        )
+
+        s0 = dna(700, seed=153)
+        s1 = homolog(s0, seed=154, sub_rate=0.3, indel_rate=0.15)
+        nparts = 2
+        points = split_points(len(s1), [1.0] * nparts)
+        urls = auto_urls(str(tmp_path), nparts)
+        parts = []
+        for k in range(nparts):
+            parts.append(run_part_stage1(
+                s0, s1, k, points, P, CFG,
+                load_url=urls[k - 1] if k > 0 else None,
+                flush_url=urls[k] if k < nparts - 1 else None,
+                backend="scan", buffered=False, special_every=512,
+            ))
+        cps, reused = speculative_traceback(s0, s1, parts, P)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert cps[-1].score == ref.best
