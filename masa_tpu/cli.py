@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="column-shard stage 1 over N devices")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "kernel"])
+    p.add_argument("--list-devices", action="store_true",
+                   help="list accelerators and exit")
+    p.add_argument("--config", default=None,
+                   help="INI config file ([global]/[stageN])")
     return p
 
 
@@ -101,6 +105,15 @@ def _apply_modifiers(args, which: str, idx: int) -> dict:
 
 
 def main(argv=None) -> int:
+    import sys as _sys
+
+    if argv is None:
+        argv = _sys.argv[1:]
+    if "--list-devices" in argv:
+        from masa_tpu.utils.devices import format_device_list
+
+        print(format_device_list())
+        return 0
     args = build_parser().parse_args(argv)
     print(HEADER)
 
@@ -142,6 +155,12 @@ def main(argv=None) -> int:
         backend=args.backend,
         block_pruning=not args.no_block_pruning,
     )
+    if args.config:
+        # the INI file overrides execution resources/strategy
+        # ([global]/[stageN], configs/default.cfg analogue)
+        from masa_tpu.utils.config import apply_to_job_config, load_config
+
+        apply_to_job_config(load_config(args.config), jcfg)
     job = Job(jcfg, seqs[0].info.hash or str(len(seq0)),
               seqs[1].info.hash or str(len(seq1)))
 

@@ -52,3 +52,33 @@ class TestConfig:
         jcfg = JobConfig()
         apply_to_job_config(load_config(str(p)), jcfg)
         assert jcfg.ram_limit == 2 << 30
+
+
+class TestBlocksFile:
+    def test_roundtrip_and_reduce(self, tmp_path):
+        import numpy as np
+
+        from masa_tpu.core.blocks_file import BlocksFile
+
+        bf = BlocksFile(str(tmp_path / "blocks.bin"))
+        for r in range(6):
+            bf.add_row(np.arange(10) * (r + 1))
+        bf.save()
+        grid = BlocksFile.load(str(tmp_path / "blocks.bin"))
+        assert grid.shape == (6, 10)
+        assert grid[5, 9] == 54
+        red = bf.reduce(3, 5)
+        assert red.shape == (3, 5)
+        assert red.max() == 54
+
+
+class TestDevices:
+    def test_list(self):
+        from masa_tpu.utils.devices import (
+            device_weights, format_device_list, list_devices,
+        )
+
+        devs = list_devices()
+        assert len(devs) == 8  # virtual CPU mesh
+        assert len(device_weights()) == 8
+        assert "available devices" in format_device_list()
