@@ -69,6 +69,7 @@ def run_partition(
     prune: bool = False,
     first_col_reader=None,
     lastcol_writer=None,
+    pad_rows: bool = False,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -84,6 +85,13 @@ def run_partition(
     m, nj = len(seq0), len(seq1)
     assert nj >= 1
     R = cfg.rows
+    # pad_rows: iterate whole strips only (sentinel rows in the tail
+    # strip); every strip then hits the one full-height compile.  Sentinel
+    # rows never match and only lose score, so SW bests and all specials
+    # at rows <= m are exact; the final-row output becomes meaningless.
+    m_iter = ((m + R - 1) // R) * R if pad_rows else m
+    assert not (pad_rows and first_col_reader), \
+        "streamed borders need exact strip heights"
     L = cfg.lanes
     C = cfg.chunk
     if special_every:
@@ -137,8 +145,8 @@ def run_partition(
     neg_pack = None
     stream_corner = int(row_h[0])  # H(i0, 0) carried between strip reads
     i0 = 0
-    while i0 < m:
-        hs = min(R, m - i0)
+    while i0 < m_iter:
+        hs = min(R, m_iter - i0)
         a_lanes = jnp.asarray(wf.pack_strip_rows(cfg, seq0[i0 : i0 + hs]))
         if first_col_reader is not None:
             # streamed left border (multi-process column split): one
@@ -147,8 +155,12 @@ def run_partition(
             corner = stream_corner
             stream_corner = int(ich[-1])
         else:
-            ich, ice = _border_vec(col_init, params, hs, i0 + 1, first_col)
-            corner_h, _ = _border_vec(col_init, params, 1, i0, first_col)
+            ich, ice = _border_vec(
+                col_init, params, min(hs, m - i0) if pad_rows else hs,
+                i0 + 1, first_col,
+            )
+            corner_h, _ = _border_vec(col_init, params, 1, min(i0, m),
+                                      first_col)
             corner = int(corner_h[0])
         init_h, init_e = wf.pack_border_cols(cfg, ich, ice)
         init_h, init_e = jnp.asarray(init_h), jnp.asarray(init_e)
@@ -201,7 +213,13 @@ def run_partition(
                 b_w, bh_w, bf_w = b, bus_h, bus_f
                 ih_w, ie_w, corner_w = init_h, init_e, corner
 
-            if backend == "pallas":
+            # Partial strips (a one-off shape per partition) run through
+            # the scan twin: an XLA while-loop compiles in seconds where
+            # the unrolled Mosaic kernel takes a minute.
+            strip_backend = backend
+            if (backend == "pallas" and hs < R and not cfg.interpret):
+                strip_backend = "scan"
+            if strip_backend == "pallas":
                 plen = wf.padded_len(cfg, nj_w)
                 out = wf.strip_pallas(
                     cfg, a_lanes, b_w[:plen], bh_w[:plen], bf_w[:plen],

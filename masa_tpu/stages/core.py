@@ -129,6 +129,7 @@ def forward_pass(
     cfg: wf.WavefrontConfig | None = None,
     track_best: bool = True,
     prune: bool = False,
+    pad_rows: bool = False,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`."""
@@ -166,7 +167,7 @@ def forward_pass(
         return FwdResult(res.last_h, lf, res.best, res.best_i,
                          res.best_j, store, m * n)
 
-    cfg = cfg or default_config()
+    cfg = cfg or adaptive_config(m)
     cfg = dataclasses.replace(
         cfg,
         recurrence=recurrence,
@@ -195,6 +196,7 @@ def forward_pass(
         special_every=special_every,
         on_special_row=on_special if special_every else None,
         prune=prune,
+        pad_rows=pad_rows,
     )
     lf = res.last_f.copy()
     lf[0] = col_f_syn[m]
@@ -217,10 +219,34 @@ def default_config() -> wf.WavefrontConfig:
         import jax
 
         if jax.default_backend() == "tpu":
-            _DEFAULT_CFG = wf.WavefrontConfig(alpha=4, rs=8, chunk=16384)
+            _DEFAULT_CFG = wf.WavefrontConfig(alpha=16, rs=64, chunk=16384)
         else:
             _DEFAULT_CFG = wf.WavefrontConfig(alpha=4, rs=1, chunk=512)
     return _DEFAULT_CFG
+
+
+# The strip-height ladder: a handful of compile variants covering small
+# partitions (traceback stages) up to the full-rate stage-1 strip.
+_TPU_LADDER = (
+    wf.WavefrontConfig(alpha=4, rs=1, chunk=2048),      # R = 512
+    wf.WavefrontConfig(alpha=4, rs=8, chunk=4096),      # R = 4096
+    wf.WavefrontConfig(alpha=8, rs=32, chunk=8192),     # R = 32768
+    wf.WavefrontConfig(alpha=16, rs=64, chunk=16384),   # R = 131072
+)
+_CPU_LADDER = (wf.WavefrontConfig(alpha=4, rs=1, chunk=512),)
+
+
+def adaptive_config(rows: int) -> wf.WavefrontConfig:
+    """Pick the largest ladder config whose strip height fits ~rows/4 (so
+    a partition spans several strips), falling back to the smallest."""
+    import jax
+
+    ladder = _TPU_LADDER if jax.default_backend() == "tpu" else _CPU_LADDER
+    best = ladder[0]
+    for cfg in ladder:
+        if cfg.rows * 2 <= max(rows, 1):
+            best = cfg
+    return best
 
 
 @dataclasses.dataclass
@@ -257,8 +283,14 @@ def reverse_pass_and_match(
     """
     ci, cj, s, t = cp.i, cp.j, cp.score, cp.type
     hb = ci - cut_row
-    width = cj - j_low
     assert hb >= 1
+    # quantize the window width to a power of two (bounds the number of
+    # distinct compiled kernel shapes)
+    if j_low > 0:
+        want = cj - j_low
+        want = 1 << (want - 1).bit_length()
+        j_low = max(cj - want, 0)
+    width = cj - j_low
     goal = s + (params.gap_open if t != CrosspointType.MATCH else 0)
 
     rseq0 = np.ascontiguousarray(seq0[cut_row:ci][::-1])
@@ -269,7 +301,7 @@ def reverse_pass_and_match(
     row_init, col_init = init_types_for(t)
 
     if backend == "auto":
-        backend = "numpy" if hb * max(width, 1) < 4_000_000 else "kernel"
+        backend = "numpy" if hb * max(width, 1) < 16_000_000 else "kernel"
     if width == 0:
         # Degenerate window: only the straight-up border column exists.
         rev_h, _ = border_cells(hb + 1, col_init, params)
@@ -293,7 +325,7 @@ def reverse_pass_and_match(
                                  goal) if goal_anywhere else (NEG, (0, 0))
         rev_col = (res.col_h, res.col_e) if want_rev_col else None
     else:
-        kcfg = cfg or default_config()
+        kcfg = cfg or adaptive_config(hb)
         kcfg = dataclasses.replace(
             kcfg,
             recurrence=Recurrence.NEEDLEMAN_WUNSCH,

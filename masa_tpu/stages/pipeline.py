@@ -157,10 +157,10 @@ def _densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, depth):
     sub0 = np.ascontiguousarray(seq0[c0.i : c1.i])
     sub1 = np.ascontiguousarray(seq1[c0.j : c1.j])
     row_init, col_init = core.init_types_for(c0.type)
-    kcfg = pcfg.kernel_cfg or core.default_config()
+    kcfg = pcfg.kernel_cfg or core.adaptive_config(max(h // 8, 1))
     # ladder: ~8 bands per level, aligned to strips for the kernel path
     iv = max(h // 8, 1)
-    if h * w >= 4_000_000:
+    if h * w >= 16_000_000:
         r = kcfg.rows
         iv = max(((iv + r - 1) // r) * r, r)
     store = core.SpecialRowStore()
@@ -168,6 +168,7 @@ def _densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, depth):
         sub0, sub1, pcfg.params, Recurrence.NEEDLEMAN_WUNSCH,
         row_init, col_init, special_every=iv, store=store,
         backend="auto", cfg=pcfg.kernel_cfg, track_best=False,
+        pad_rows=True,
     )
     local_end = Crosspoint(h, w, c1.score - c0.score, c1.type)
     local_cps = core.reverse_march(

@@ -118,6 +118,7 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         special_every=ivs[0], store=store,
         backend=job.cfg.backend, cfg=kernel_cfg,
         prune=job.cfg.block_pruning,
+        pad_rows=rec == Recurrence.SMITH_WATERMAN,
     )
 
     best = BestScoreList(job.cfg.max_alignments)
