@@ -123,12 +123,12 @@ class TPUAligner(Aligner):
         def on_row(r, bus_h, bus_f):
             mgr.dispatch_row(p.i0 + r, bus_h, bus_f)
 
-        def stop(out, rows_done, strip_rows):
+        def stop(out, rows_done, strip_rows, col_off):
             if cfg.track_best:
                 s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
                 strip_top = rows_done - strip_rows
                 mgr.dispatch_score(p.i0 + strip_top + bi + 1,
-                                   p.j0 + bj + 1, s)
+                                   p.j0 + col_off + bj + 1, s)
             return not mgr.must_continue()
 
         res = strips.run_partition(

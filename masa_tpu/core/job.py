@@ -37,6 +37,8 @@ class JobConfig:
     stage5_max_cells: int = 1 << 18
     backend: str = "auto"
     block_pruning: bool = True
+    # near-duplicate suppression radius for multi-alignment runs
+    best_score_distance: int = 64
 
 
 class Job:

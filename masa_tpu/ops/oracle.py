@@ -120,6 +120,8 @@ class RowsResult:
     best_i: int
     best_j: int
     specials: dict[int, tuple[np.ndarray, np.ndarray]]
+    row_best_val: np.ndarray | None = None  # (m,) per-row max (SW)
+    row_best_j: np.ndarray | None = None
 
 
 def dp_rows(
@@ -132,6 +134,7 @@ def dp_rows(
     first_row: tuple[np.ndarray, np.ndarray] | None = None,
     first_col: tuple[np.ndarray, np.ndarray] | None = None,
     special_rows: tuple[int, ...] = (),
+    row_bests: bool = False,
 ) -> RowsResult:
     """Row-sweep DP in O(n) memory.
 
@@ -170,6 +173,9 @@ def dp_rows(
     specials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     special_set = set(special_rows)
     jext = np.arange(n + 1, dtype=np.int64) * ge
+    if row_bests:
+        rb_val = np.zeros(m, np.int64)
+        rb_j = np.zeros(m, np.int64)
 
     for i in range(1, m + 1):
         c0 = seq0[i - 1]
@@ -214,6 +220,9 @@ def dp_rows(
             if mx > best:
                 js = np.nonzero(h_cur == mx)[0]
                 best, best_i, best_j = mx, i, int(js[0])
+            if row_bests:
+                rb_val[i - 1] = mx
+                rb_j[i - 1] = int(np.argmax(h_cur))
         h_prev, f_prev = h_cur, f_cur
         out_col_h[i] = h_cur[n]
         out_col_e[i] = e_cur[n]
@@ -231,6 +240,8 @@ def dp_rows(
         best_i=best_i,
         best_j=best_j,
         specials=specials,
+        row_best_val=rb_val if row_bests else None,
+        row_best_j=rb_j if row_bests else None,
     )
 
 

@@ -76,9 +76,10 @@ def run_partition(
 
     ``special_every`` must be a multiple of the strip height (or 0);
     ``on_special_row(dp_row_index, bus_h, bus_f)`` fires at that cadence.
-    ``stop_check(strip_result_dict, rows_done, strip_rows)`` may return
-    True to halt early (goal-score support); the strip covered DP rows
-    (rows_done - strip_rows, rows_done].  ``prune`` enables block pruning (SW with
+    ``stop_check(strip_result_dict, rows_done, strip_rows, col_off)``
+    may return True to halt early (goal-score support); the strip covered
+    DP rows (rows_done - strip_rows, rows_done] and its best captures are
+    relative to kernel column offset col_off (pruning windows).  ``prune`` enables block pruning (SW with
     best tracking only): strips run on a power-of-2-quantized chunk window
     computed from the previous bus; pruned columns carry -INF buses.
     """
@@ -166,7 +167,7 @@ def run_partition(
         init_h, init_e = jnp.asarray(init_h), jnp.asarray(init_e)
 
         # --- block pruning window (SW): [wa, wa+wn) chunks ------------
-        wa, wn = 0, ng
+        wa, wn, off = 0, ng, 0
         skip_strip = False
         if prune:
             busmax = pruning.chunk_maxima(
@@ -260,7 +261,7 @@ def run_partition(
             specials[i0] = (bh, bf)
             if on_special_row:
                 on_special_row(i0, bh, bf)
-        if stop_check and out is not None and stop_check(out, i0, hs):
+        if stop_check and out is not None and stop_check(out, i0, hs, off):
             break
 
     last_h = np.empty(nj + 1, np.int64)

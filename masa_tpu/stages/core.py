@@ -130,6 +130,7 @@ def forward_pass(
     track_best: bool = True,
     prune: bool = False,
     pad_rows: bool = False,
+    best_sink=None,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`."""
@@ -159,9 +160,14 @@ def forward_pass(
             seq0, seq1, params, recurrence, row_init, col_init,
             first_row=first_row, first_col=first_col,
             special_rows=rows,
+            row_bests=best_sink is not None,
         )
         for r, (h, f) in res.specials.items():
             put_row(r, h, f)
+        if best_sink is not None and res.row_best_val is not None:
+            for i in range(m):
+                best_sink(i + 1, int(res.row_best_j[i]),
+                          int(res.row_best_val[i]))
         lf = res.last_f.copy()
         lf[0] = col_f_syn[m]
         return FwdResult(res.last_h, lf, res.best, res.best_i,
@@ -189,6 +195,12 @@ def forward_pass(
         f_full[1:] = bus_f
         put_row(r, h_full, f_full)
 
+    def strip_sink(out, rows_done, strip_rows, col_off):
+        if best_sink is not None and "best_v" in out:
+            s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
+            best_sink(rows_done - strip_rows + bi + 1, col_off + bj + 1, s)
+        return False
+
     res = strips.run_partition(
         cfg, seq0, seq1, params, row_init, col_init,
         first_row=first_row, first_col=first_col,
@@ -197,6 +209,7 @@ def forward_pass(
         on_special_row=on_special if special_every else None,
         prune=prune,
         pad_rows=pad_rows,
+        stop_check=strip_sink if best_sink is not None else None,
     )
     lf = res.last_f.copy()
     lf[0] = col_f_syn[m]
@@ -228,7 +241,7 @@ def default_config() -> wf.WavefrontConfig:
 # The strip-height ladder: a handful of compile variants covering small
 # partitions (traceback stages) up to the full-rate stage-1 strip.
 _TPU_LADDER = (
-    wf.WavefrontConfig(alpha=4, rs=1, chunk=2048),      # R = 512
+    # no rs=1 on TPU: Mosaic rejects the degenerate (1,128) shift shapes
     wf.WavefrontConfig(alpha=4, rs=8, chunk=4096),      # R = 4096
     wf.WavefrontConfig(alpha=8, rs=32, chunk=8192),     # R = 32768
     wf.WavefrontConfig(alpha=16, rs=64, chunk=16384),   # R = 131072

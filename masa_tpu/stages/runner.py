@@ -30,6 +30,20 @@ from masa_tpu.types import (
 STAGE_1, STAGE_2, STAGE_3, STAGE_4, STAGE_5, STAGE_6 = range(1, 7)
 
 
+class _NoTruncate:
+    """Multi-alignment runs share the stage-1 rows; truncation is
+    disabled so later ids can still match."""
+
+    def __init__(self, part):
+        self._part = part
+
+    def __getattr__(self, name):
+        return getattr(self._part, name)
+
+    def truncate_above(self, i):
+        pass
+
+
 class _OffsetStore:
     """Adapter translating partition-local row indices to absolute ones and
     mirroring progress into the status file."""
@@ -74,7 +88,7 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     t0 = time.time()
     m, n = len(seq0), len(seq1)
     pcfg = _pcfg(job, kernel_cfg)
-    kcfg = kernel_cfg or core.default_config()
+    kcfg = kernel_cfg or core.adaptive_config(m)
     ivs = job.calculate_flush_intervals(m, n, align_to=kcfg.rows)
     cpf = job.crosspoints_file(STAGE_1, 0)
 
@@ -82,12 +96,18 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 
     if os.path.exists(cpf.path):
         try:
-            cps = cpf.load()
-            if cpf.complete and cps:
+            best = BestScoreList(job.cfg.max_alignments)
+            loaded = 0
+            for aln_id in range(job.cfg.max_alignments):
+                f = job.crosspoints_file(STAGE_1, aln_id)
+                if not os.path.exists(f.path):
+                    break
+                cps = f.load()
+                if f.complete and cps:
+                    best.add(cps[0].i, cps[0].j, cps[0].score)
+                    loaded += 1
+            if loaded:
                 log("stage1: already executed (resume)")
-                best = BestScoreList(job.cfg.max_alignments)
-                for c in cps:
-                    best.add(c.i, c.j, c.score)
                 return best
         except Exception:
             pass
@@ -112,6 +132,11 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     else:
         col_init_eff = col_init
 
+    best = BestScoreList(job.cfg.max_alignments,
+                         min_distance=job.cfg.best_score_distance)
+    sink = None
+    if job.cfg.max_alignments > 1 and rec == Recurrence.SMITH_WATERMAN:
+        sink = lambda i, j, s: best.add(r0 + i, j, s)
     res = core.forward_pass(
         seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
         first_row=first_row, first_col=first_col,
@@ -119,9 +144,9 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         backend=job.cfg.backend, cfg=kernel_cfg,
         prune=job.cfg.block_pruning,
         pad_rows=rec == Recurrence.SMITH_WATERMAN,
+        best_sink=sink,
     )
 
-    best = BestScoreList(job.cfg.max_alignments)
     if rec == Recurrence.SMITH_WATERMAN:
         best.add(r0 + res.best_i, res.best_j, res.best)
         prev = job.status.best
@@ -131,10 +156,12 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         best.add(m, n, int(res.last_h[n]))
         part.put(m, res.last_h, res.last_f)
 
-    cpf.set_autosave()
-    for s in best:
-        cpf.write(Crosspoint(s.i, s.j, s.score, CrosspointType.MATCH))
-    cpf.close()
+    # one endpoint crosspoint file per alignment id (crosspoint_01.II)
+    for aln_id, s in enumerate(best):
+        f = cpf if aln_id == 0 else job.crosspoints_file(STAGE_1, aln_id)
+        f.set_autosave()
+        f.write(Crosspoint(s.i, s.j, s.score, CrosspointType.MATCH))
+        f.close()
     b = best.best
     job.status.update(stage=STAGE_1, best=(b.i, b.j, b.score))
     dt = time.time() - t0
@@ -168,6 +195,8 @@ def stage2(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
     part = area.open_partition(endpoint.i, endpoint.j)
     if part is None:
         raise RuntimeError("stage2: no stage-1 special rows area")
+    if job.cfg.max_alignments > 1:
+        part = _NoTruncate(part)
     row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
     cps = core.reverse_march(
         seq0, seq1, job.cfg.params, endpoint, part,
@@ -291,13 +320,24 @@ def stage6(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 def execute_traceback(job: Job, seq0, seq1, sequences=None,
                       kernel_cfg=None, fmt: str = "text", log=print
                       ) -> balign.Alignment:
-    """stages 2..6 for each best score (libmasa.cpp:644-655)."""
-    stage2(job, seq0, seq1, 0, kernel_cfg, log)
-    stage3(job, seq0, seq1, 0, kernel_cfg, log)
-    stage4(job, seq0, seq1, 0, log=log)
-    aln = stage5(job, seq0, seq1, sequences, 0, log)
-    stage6(job, seq0, seq1, aln, 0, fmt, log)
-    return aln
+    """stages 2..6 for each best-score alignment id
+    (executeTraceback, libmasa.cpp:644-655)."""
+    import os
+
+    first = None
+    for aln_id in range(job.cfg.max_alignments):
+        if aln_id and not os.path.exists(
+            job.crosspoints_file(STAGE_1, aln_id).path
+        ):
+            break
+        stage2(job, seq0, seq1, aln_id, kernel_cfg, log)
+        stage3(job, seq0, seq1, aln_id, kernel_cfg, log)
+        stage4(job, seq0, seq1, aln_id, log=log)
+        aln = stage5(job, seq0, seq1, sequences, aln_id, log)
+        stage6(job, seq0, seq1, aln, aln_id, fmt, log)
+        if first is None:
+            first = aln
+    return first
 
 
 def align_job(job: Job, seq0, seq1, sequences=None, kernel_cfg=None,

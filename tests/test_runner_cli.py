@@ -102,3 +102,34 @@ class TestCLI:
                     "--backend", "numpy"])
         assert ret == 0
         assert "best score: 150" in capsys.readouterr().out
+
+
+class TestMultiAlignment:
+    def test_two_alignments(self, dna, jobdir):
+        """Two well-separated local alignments are both found and traced
+        (--max-alignments)."""
+        import numpy as np
+
+        r = np.random.default_rng(161)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        a = r.choice(bases, size=200).astype(np.uint8)
+        b = r.choice(bases, size=150).astype(np.uint8)
+        pad = lambda n, seed: np.random.default_rng(seed).choice(
+            bases, size=n
+        ).astype(np.uint8)
+        s0 = np.concatenate([a, pad(200, 1), b])
+        s1 = np.concatenate([b, pad(180, 2), a])
+        cfg = JobConfig(work_dir=jobdir, max_alignments=2,
+                        backend="numpy", stage4_max_partition=0)
+        job = Job(cfg)
+        runner.align_job(job, s0, s1, log=lambda *a: None)
+        import os
+
+        assert os.path.exists(job.path("alignment.00.cgff"))
+        assert os.path.exists(job.path("alignment.01.cgff"))
+        from masa_tpu.biology.alignment import read_cgff
+
+        a0 = read_cgff(job.path("alignment.00.cgff"))
+        a1 = read_cgff(job.path("alignment.01.cgff"))
+        assert a0.raw_score == 200  # the longer exact repeat
+        assert a1.raw_score == 150
