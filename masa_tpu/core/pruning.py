@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from masa_tpu.types import INF, ScoreParams
+from masa_tpu.types import INF, Recurrence, ScoreParams
 
 NEG = -INF
 
@@ -66,3 +66,53 @@ def pruning_window(
         return 0, 0
     idx = np.nonzero(keep)[0]
     return int(idx[0]), int(idx[-1]) + 1
+
+
+class BlockPruningGeneric:
+    """Per-block prunable flags for arbitrary block schedules.
+
+    The generic sibling of the strip/chunk window above — the analogue of
+    BlockPruningGeneric/GenericN2 (pruning/BlockPruningGeneric.cpp:39-95,
+    BlockPruningGenericN2.cpp:37-85), used by block-scheduled aligners
+    where blocks are visited in any dependency-respecting order, so a
+    contiguous window cannot represent the pruned set.
+
+    The bound is AbstractBlockPruning::isBlockPrunable
+    (pruning/AbstractBlockPruning.cpp:70-111): a block starting at local
+    offset (bi0, bj0) inside an (m, n)-cell partition is prunable when
+
+        value + min(m - bi0, n - bj0) * match <= best
+
+    where `value` is the maximum score entering the block (its top/left
+    boundary maxima; floored at 0 for SW since an alignment may start
+    fresh anywhere inside).  Only SW prunes — NW paths must reach the
+    corner regardless of score (the reference's NW corrections make the
+    bound so loose it never fires; we follow CUDAligner and prune SW
+    only).
+    """
+
+    def __init__(self, m: int, n: int, params: ScoreParams,
+                 recurrence: Recurrence = Recurrence.SMITH_WATERMAN,
+                 best: int = 0):
+        self.m = m
+        self.n = n
+        self.params = params
+        self.enabled = recurrence == Recurrence.SMITH_WATERMAN
+        self.best = best
+        self.pruned_blocks = 0
+
+    def update_best(self, score: int) -> None:
+        if score > self.best:
+            self.best = score
+
+    def is_prunable(self, bi0: int, bj0: int, entering_max: int) -> bool:
+        """entering_max: max H over the block's entering row/column
+        boundary (callers pass -INF for cleared boundaries)."""
+        if not self.enabled:
+            return False
+        value = max(int(entering_max), 0)
+        gain = min(self.m - bi0, self.n - bj0) * self.params.match
+        prunable = value + gain <= self.best
+        if prunable:
+            self.pruned_blocks += 1
+        return prunable
