@@ -37,6 +37,10 @@ class JobConfig:
     stage5_max_cells: int = 1 << 18
     backend: str = "auto"
     block_pruning: bool = True
+    # SRA row compression: none / 8bit / 4bit / vlc (io/rowcodec.py)
+    sra_compression: str = "none"
+    # --dump-blocks: persist the per-(strip, chunk) score grid
+    dump_blocks: bool = False
     # near-duplicate suppression radius for multi-alignment runs
     best_score_distance: int = 64
 
@@ -117,6 +121,7 @@ class Job:
             self.path("special_rows", name),
             ram_limit=self.cfg.ram_limit,
             disk_limit=self.cfg.disk_limit,
+            codec=self.cfg.sra_compression,
         )
 
     def clear_sra_area(self, stage: int, aln_id: int,

@@ -9,8 +9,11 @@ re-seeds from the last complete row; truncation drops rows behind a found
 crosspoint.
 
 Row file format (original, not the reference's): little-endian
-    magic "MSR1" | int64 row_index | int64 count | count * (int32 H,F)
-written via tmp+rename so a partial row never looks complete.
+    magic "MSR2" | u8 codec | int64 row_index | int64 count | payload
+where codec indexes io.rowcodec.CODECS (none/8bit/4bit/vlc — the
+reference's SRA compression strategy enums, configs/Configs.hpp:35-41,
+actually wired here).  Written via tmp+rename so a partial row never
+looks complete.  Legacy "MSR1" (uncompressed int32 pairs) still reads.
 """
 
 from __future__ import annotations
@@ -22,18 +25,21 @@ import struct
 
 import numpy as np
 
-MAGIC = b"MSR1"
+from masa_tpu.io.rowcodec import CODECS, decode_row, encode_row
+
+MAGIC = b"MSR2"
+MAGIC_V1 = b"MSR1"
 
 
 def _row_path(dirpath: str, r: int) -> str:
     return os.path.join(dirpath, f"row.{r:010d}.bin")
 
 
-def write_row(dirpath: str, r: int, h: np.ndarray, f: np.ndarray) -> int:
-    data = np.empty((len(h), 2), np.int32)
-    data[:, 0] = h
-    data[:, 1] = f
-    raw = MAGIC + struct.pack("<qq", r, len(h)) + data.tobytes()
+def write_row(dirpath: str, r: int, h: np.ndarray, f: np.ndarray,
+              codec: str = "none") -> int:
+    payload = encode_row(codec, h, f)
+    raw = (MAGIC + struct.pack("<Bqq", CODECS.index(codec), r, len(h))
+           + payload)
     tmp = _row_path(dirpath, r) + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(raw)
@@ -44,13 +50,16 @@ def write_row(dirpath: str, r: int, h: np.ndarray, f: np.ndarray) -> int:
 def read_row(dirpath: str, r: int) -> tuple[np.ndarray, np.ndarray]:
     with open(_row_path(dirpath, r), "rb") as fh:
         raw = fh.read()
+    if raw[:4] == MAGIC_V1:
+        ridx, count = struct.unpack_from("<qq", raw, 4)
+        data = np.frombuffer(raw, np.int32, count * 2, offset=20).reshape(
+            count, 2
+        )
+        return data[:, 0].astype(np.int64), data[:, 1].astype(np.int64)
     if raw[:4] != MAGIC:
         raise IOError(f"corrupt special row {r} in {dirpath}")
-    ridx, count = struct.unpack_from("<qq", raw, 4)
-    data = np.frombuffer(raw, np.int32, count * 2, offset=20).reshape(
-        count, 2
-    )
-    return data[:, 0].astype(np.int64), data[:, 1].astype(np.int64)
+    codec_id, ridx, count = struct.unpack_from("<Bqq", raw, 4)
+    return decode_row(CODECS[codec_id], raw[21:], count)
 
 
 class SpecialRowsPartition:
@@ -60,11 +69,13 @@ class SpecialRowsPartition:
     traceback machinery is storage-agnostic."""
 
     def __init__(self, dirpath: str, i0: int, j0: int, i1: int, j1: int,
-                 ram_limit: int = 1 << 30, disk_limit: int = 1 << 40):
+                 ram_limit: int = 1 << 30, disk_limit: int = 1 << 40,
+                 codec: str = "none"):
         self.dir = dirpath
         self.i0, self.j0, self.i1, self.j1 = i0, j0, i1, j1
         self.ram_limit = ram_limit
         self.disk_limit = disk_limit
+        self.codec = codec
         self._ram: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._disk: set[int] = set()
         self._ram_bytes = 0
@@ -93,7 +104,7 @@ class SpecialRowsPartition:
     def put(self, r: int, h: np.ndarray, f: np.ndarray) -> None:
         nbytes = 8 * len(h) + 20
         if self._disk_bytes + nbytes <= self.disk_limit:
-            self._disk_bytes += write_row(self.dir, r, h, f)
+            self._disk_bytes += write_row(self.dir, r, h, f, self.codec)
             self._disk.add(r)
         elif self._ram_bytes + nbytes <= self.ram_limit:
             self._ram[r] = (np.asarray(h, np.int64),
@@ -143,10 +154,11 @@ class SpecialRowsArea:
     (sra/SpecialRowsArea.cpp)."""
 
     def __init__(self, dirpath: str, ram_limit: int = 1 << 30,
-                 disk_limit: int = 1 << 40):
+                 disk_limit: int = 1 << 40, codec: str = "none"):
         self.dir = dirpath
         self.ram_limit = ram_limit
         self.disk_limit = disk_limit
+        self.codec = codec
         os.makedirs(dirpath, exist_ok=True)
 
     def _pname(self, i0, j0, i1, j1) -> str:
@@ -157,6 +169,7 @@ class SpecialRowsArea:
             os.path.join(self.dir, self._pname(i0, j0, i1, j1)),
             i0, j0, i1, j1,
             ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+            codec=self.codec,
         )
 
     def open_partition(self, i: int, j: int) -> SpecialRowsPartition | None:
@@ -173,6 +186,7 @@ class SpecialRowsArea:
                     os.path.join(self.dir, name),
                     m["i0"], m["j0"], m["i1"], m["j1"],
                     ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+                    codec=self.codec,
                 )
         return None
 
@@ -187,5 +201,6 @@ class SpecialRowsArea:
                     os.path.join(self.dir, name),
                     m["i0"], m["j0"], m["i1"], m["j1"],
                     ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+                    codec=self.codec,
                 ))
         return out

@@ -23,6 +23,7 @@ class EngineConfig:
     ram_size: int = 1 << 30
     disk_size: int = 16 << 30
     block_pruning: bool = True
+    sra_compression: str = "none"
     flush_deepness: int = 7
     backend: str = "auto"
     stages: dict = dataclasses.field(default_factory=dict)
@@ -53,6 +54,8 @@ def load_config(path: str) -> EngineConfig:
             cfg.block_pruning = g.getboolean("block-pruning")
         if "flush-deepness" in g:
             cfg.flush_deepness = g.getint("flush-deepness")
+        if "sra-compression" in g:
+            cfg.sra_compression = g["sra-compression"].strip().lower()
         if "backend" in g:
             cfg.backend = g["backend"]
     for k in range(1, 7):
@@ -78,6 +81,7 @@ def apply_to_job_config(cfg: EngineConfig, jcfg) -> None:
     jcfg.ram_limit = cfg.ram_size
     jcfg.disk_limit = cfg.disk_size
     jcfg.block_pruning = cfg.block_pruning
+    jcfg.sra_compression = cfg.sra_compression
     jcfg.flush_deepness = cfg.flush_deepness
     jcfg.backend = cfg.backend
     s4 = cfg.stages.get(4)
