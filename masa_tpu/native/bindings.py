@@ -68,6 +68,15 @@ def _configure(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # scores
         ctypes.POINTER(ctypes.c_int), ctypes.c_longlong,     # ops out
     ]
+    lib.masa_reduce_partitions.restype = ctypes.c_longlong
+    lib.masa_reduce_partitions.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,   # seq0
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,   # seq1
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,  # cps in
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # scores
+        ctypes.c_longlong, ctypes.c_int,                     # mps, threads
+        ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,  # cps out
+    ]
 
 
 def available() -> bool:
@@ -113,7 +122,36 @@ def traceback_ops(seq0: np.ndarray, seq1: np.ndarray, type_s: int,
     return int(seg), out[1 : 1 + 2 * count].reshape(-1, 2).copy()
 
 
-def reduce_partitions(seq0, seq1, cps, params, mps):  # pragma: no cover
-    """Placeholder: stage-4 native batching arrives with the C++ MM
-    implementation; fall back to Python for now."""
-    raise ImportError("native stage-4 not built")
+def reduce_partitions(seq0, seq1, cps, params, mps: int,
+                      nthreads: int = 4) -> list:
+    """Native stage-4 reduce: split every adjacent crosspoint pair until
+    max(height, width) <= mps, fanned over a thread pool (the reference's
+    4-pthread reduce_partitions, stage4/sw_stage4.cpp:806-852).
+
+    `cps` is a list of Crosspoint; returns the densified list.  Raises
+    RuntimeError on backtrace loss (same contract as the Python path).
+    """
+    from masa_tpu.types import Crosspoint
+
+    lib = _load()
+    seq0 = np.ascontiguousarray(seq0, np.uint8)
+    seq1 = np.ascontiguousarray(seq1, np.uint8)
+    arr = np.array([(c.i, c.j, c.score, int(c.type)) for c in cps],
+                   np.int64).reshape(-1)
+    # worst case one crosspoint per mps cells along the path + slack
+    span = sum(max(b.i - a.i, b.j - a.j) for a, b in zip(cps, cps[1:]))
+    cap = 2 * (span // max(mps, 1) + len(cps) + 16)
+    out = np.empty(4 * cap, np.int64)
+    n = lib.masa_reduce_partitions(
+        seq0.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(seq0),
+        seq1.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(seq1),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), len(cps),
+        params.match, params.mismatch, params.gap_open, params.gap_ext,
+        mps, nthreads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), cap,
+    )
+    if n < 0:
+        raise RuntimeError("native stage-4 lost the backtrace")
+    quads = out[: 4 * n].reshape(n, 4)
+    return [Crosspoint(int(i), int(j), int(s), int(t))
+            for i, j, s, t in quads]

@@ -137,6 +137,13 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     sink = None
     if job.cfg.max_alignments > 1 and rec == Recurrence.SMITH_WATERMAN:
         sink = lambda i, j, s: best.add(r0 + i, j, s)
+    blocks = None
+    blocks_sink = None
+    if job.cfg.dump_blocks:
+        from masa_tpu.core.blocks_file import BlocksFile
+
+        blocks = BlocksFile(job.path("blocks.00.bin"))
+        blocks_sink = lambda rows_done, maxima: blocks.add_row(maxima)
     res = core.forward_pass(
         seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
         first_row=first_row, first_col=first_col,
@@ -145,7 +152,11 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         prune=job.cfg.block_pruning,
         pad_rows=rec == Recurrence.SMITH_WATERMAN,
         best_sink=sink,
+        blocks_sink=blocks_sink,
     )
+    if blocks is not None:
+        blocks.save()
+        log(f"stage1: wrote {blocks.path}")
 
     if rec == Recurrence.SMITH_WATERMAN:
         best.add(r0 + res.best_i, res.best_j, res.best)
@@ -262,7 +273,9 @@ def stage4(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
         try:
             from masa_tpu.native import bindings
 
-            if bindings.available():
+            # the native path implements the OPTIMIZED ladder bit-exactly;
+            # other strategies exist for differential testing -> Python
+            if bindings.available() and strategy == mm.SplitStrategy.OPTIMIZED:
                 cps = bindings.reduce_partitions(
                     seq0, seq1, cps, job.cfg.params, mps
                 )
@@ -308,7 +321,15 @@ def stage6(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     else:
         from masa_tpu.stages.svg import render_svg
 
-        out = render_svg(aln, len(seq0), len(seq1))
+        blocks = None
+        bpath = job.path("blocks.00.bin")
+        import os as _os
+
+        if _os.path.exists(bpath):
+            from masa_tpu.core.blocks_file import BlocksFile
+
+            blocks = BlocksFile.load(bpath)
+        out = render_svg(aln, len(seq0), len(seq1), blocks=blocks)
         path = job.path(f"alignment.{aln_id:02d}.svg")
     with open(path, "w") as f:
         f.write(out)
