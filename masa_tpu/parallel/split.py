@@ -465,3 +465,48 @@ def run_split_processes(
         if e:
             raise e
     return results
+
+
+def align_oversize(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    max_width: int,
+    work_dir: str,
+    params: ScoreParams = ScoreParams(),
+    cfg: wf.WavefrontConfig | None = None,
+    backend: str = "scan",
+    max_cells_stage5: int = 1 << 18,
+):
+    """Full alignment when seq1 exceeds the aligner's per-run width
+    capability: the matrix is tiled into chained column slabs with
+    file:// border handoff (the reference's oversize-partition splitting,
+    sw_stage1.cpp:362-375 + SpecialRowsArea::createSplittedPartitions,
+    sra/SpecialRowsArea.cpp:146-207), then traced back with the pipelined
+    slab marcher.  Returns (best, alignment)."""
+    from masa_tpu.stages import core as score
+    from masa_tpu.stages import pipeline, stage6
+
+    nparts = -(-len(seq1) // max_width)
+    points = split_points(len(seq1), [1.0] * nparts)
+    urls = auto_urls(work_dir, nparts)
+    kcfg = cfg or score.default_config()
+    parts = []
+    for k in range(nparts):
+        parts.append(run_part_stage1(
+            seq0, seq1, k, points, params, kcfg,
+            load_url=urls[k - 1] if k > 0 else None,
+            flush_url=urls[k] if k < nparts - 1 else None,
+            backend=backend, buffered=False,
+            special_every=kcfg.rows,
+        ))
+    cps = pipelined_traceback(seq0, seq1, parts, params,
+                              backend=backend, cfg=cfg)
+    pcfg = pipeline.PipelineConfig(
+        params=params, kernel_cfg=cfg, backend=backend,
+        max_cells_stage5=max_cells_stage5,
+    )
+    cps = pipeline.stage3_densify(seq0, seq1, pcfg, cps)
+    aln = pipeline.stage5_emit(seq0, seq1, pcfg, cps)
+    stage6.recheck(aln, seq0, seq1, params)
+    best = max(p.best for p in parts)
+    return best, aln

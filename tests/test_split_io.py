@@ -209,3 +209,23 @@ class TestSpeculativeTraceback:
         cps, reused = speculative_traceback(s0, s1, parts, P)
         ref = oracle.dp_rows(s0, s1, P)
         assert cps[-1].score == ref.best
+
+
+class TestOversizeSplitting:
+    """Oversize-matrix chaining (sw_stage1.cpp:362-375): when seq1 exceeds
+    the per-run width capability, column slabs chain through file://
+    borders and the pipelined traceback recovers the exact alignment."""
+
+    def test_align_oversize_matches_oracle(self, dna, homolog, tmp_path):
+        from masa_tpu.parallel.split import align_oversize
+        from masa_tpu.stages import stage6
+
+        s0 = dna(700, seed=41)
+        s1 = homolog(s0, seed=42)
+        best, aln = align_oversize(
+            s0, s1, max_width=256, work_dir=str(tmp_path), params=P,
+            cfg=CFG, max_cells_stage5=1 << 14,
+        )
+        ref = oracle.dp_rows(s0, s1, P)
+        assert best == ref.best
+        assert aln.raw_score == ref.best
