@@ -131,6 +131,13 @@ class TPUAligner(Aligner):
                                    p.j0 + col_off + bj + 1, s)
             return not mgr.must_continue()
 
+        # Per-strip score dispatch exists for goal-score early exit; with
+        # no goal the end-of-partition dispatch suffices and dropping the
+        # callback lets run_partition keep the best on-device (no host
+        # round-trip per strip).
+        if mgr.goal_score is None:
+            stop = None
+
         res = strips.run_partition(
             cfg, sub0, sub1, mgr.params,
             mgr.get_first_row_init_type(), mgr.get_first_column_init_type(),

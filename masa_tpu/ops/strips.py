@@ -70,13 +70,16 @@ def run_partition(
     first_col_reader=None,
     lastcol_writer=None,
     pad_rows: bool = False,
+    blocks_sink: Callable | None = None,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
 
     ``special_every`` must be a multiple of the strip height (or 0);
     ``on_special_row(dp_row_index, bus_h, bus_f)`` fires at that cadence.
-    ``stop_check(strip_result_dict, rows_done, strip_rows, col_off)``
+    ``blocks_sink(rows_done, chunk_maxima)`` receives the per-chunk bus
+    maxima after every strip (--dump-blocks support; forces the per-strip
+    host path).  ``stop_check(strip_result_dict, rows_done, strip_rows, col_off)``
     may return True to halt early (goal-score support); the strip covered
     DP rows (rows_done - strip_rows, rows_done] and its best captures are
     relative to kernel column offset col_off (pruning windows).  ``prune`` enables block pruning (SW with
@@ -144,10 +147,70 @@ def run_partition(
     cells = 0
     pruned_cells = 0
     neg_pack = None
+    dev_best = None  # on-device (score, i, j) accumulator
     stream_corner = int(row_h[0])  # H(i0, 0) carried between strip reads
+    plen = wf.padded_len(cfg, nj)
     i0 = 0
     while i0 < m_iter:
         hs = min(R, m_iter - i0)
+
+        # ---- grouped fast path: scan N full strips in ONE dispatch ----
+        # (no per-strip host consumer; the tunnel charges ~10-30 ms per
+        # op dispatch, so chaining strips host-side wastes seconds)
+        if (backend == "pallas" and hs == R and not prune
+                and first_col_reader is None and not cfg.store_lastcol
+                and stop_check is None and blocks_sink is None
+                and not cfg.interpret):
+            g = (min(m_iter, m) - i0) // R
+            if special_every:
+                nb = ((i0 // special_every) + 1) * special_every
+                g = min(g, (nb - i0) // R)
+            if g >= 1:
+                if cfg.track_best and dev_best is None:
+                    dev_best = (jnp.int32(best), jnp.int32(best_i),
+                                jnp.int32(best_j))
+                carry = dev_best if cfg.track_best else (
+                    jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                # One fused dispatch per strip (kernel + realign + merge);
+                # loop-invariant borders hoisted.  (Both a lax.scan over
+                # strips and on-device strip indexing measured SLOWER than
+                # this on the tunneled chip — see strip_step's docstring.)
+                const_border = col_init == InitType.WITH_ZEROES
+                bh_p, bf_p = bus_h[:plen], bus_f[:plen]
+                b_p = b[:plen]
+                ih_c = ie_c = None
+                for k in range(g):
+                    s0k = i0 + k * R
+                    a_lanes = jnp.asarray(
+                        np.ascontiguousarray(seq0[s0k : s0k + R],
+                                             np.int32)
+                        .reshape(L, cfg.alpha).T
+                        .reshape(cfg.alpha, cfg.rs, 128))
+                    if ih_c is None or not const_border:
+                        ich, ice = _border_vec(col_init, params, R,
+                                               s0k + 1, first_col)
+                        ihk, iek = wf.pack_border_cols(cfg, ich, ice)
+                        ih_c, ie_c = jnp.asarray(ihk), jnp.asarray(iek)
+                    corner = int(_border_vec(col_init, params, 1, s0k,
+                                             first_col)[0][0])
+                    bh_p, bf_p, carry = wf.strip_step(
+                        cfg, a_lanes, ih_c, ie_c, corner, b_p,
+                        bh_p, bf_p, carry, s0k, nj, cfg.track_best,
+                    )
+                fill = jnp.full(blen - plen, -INF, jnp.int32)
+                bus_h = jnp.concatenate([bh_p, fill])
+                bus_f = jnp.concatenate([bf_p, fill])
+                if cfg.track_best:
+                    dev_best = carry
+                cells += g * R * nj
+                i0 += g * R
+                if special_every and i0 % special_every == 0 and i0 < m:
+                    bh = np.asarray(bus_h[:nj])
+                    bf = np.asarray(bus_f[:nj])
+                    specials[i0] = (bh, bf)
+                    if on_special_row:
+                        on_special_row(i0, bh, bf)
+                continue
         a_lanes = jnp.asarray(wf.pack_strip_rows(cfg, seq0[i0 : i0 + hs]))
         if first_col_reader is not None:
             # streamed left border (multi-process column split): one
@@ -241,9 +304,22 @@ def run_partition(
             cells += hs * nj_w
 
             if cfg.track_best:
-                s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
-                if s > best:
-                    best, best_i, best_j = s, i0 + bi + 1, off + bj + 1
+                if stop_check is None and on_special_row is None \
+                        and not prune:
+                    # No per-strip host consumer: fold the best on-device
+                    # and materialize once at the end (a host round-trip
+                    # per strip costs ~0.3-0.5 s over a tunneled chip).
+                    if dev_best is None:
+                        dev_best = (jnp.int32(best), jnp.int32(best_i),
+                                    jnp.int32(best_j))
+                    dev_best = wf.merge_best_device(
+                        dev_best, out["best_v"], out["best_t"], i0, off
+                    )
+                else:
+                    s, bi, bj = wf.resolve_best(out["best_v"],
+                                                out["best_t"])
+                    if s > best:
+                        best, best_i, best_j = s, i0 + bi + 1, off + bj + 1
             if cfg.store_lastcol:
                 lch = np.asarray(out["lastcol_h"])
                 lce = np.asarray(out["lastcol_e"])
@@ -254,6 +330,9 @@ def run_partition(
                                          lce.astype(np.int32))
 
         i0 += hs
+        if blocks_sink is not None:
+            blocks_sink(i0, pruning.chunk_maxima(
+                np.asarray(bus_h[: ng * C]), ng, C))
         is_special = special_every and i0 % special_every == 0 and i0 < m
         if is_special:
             bh = np.asarray(bus_h[:nj])
@@ -264,6 +343,10 @@ def run_partition(
         if stop_check and out is not None and stop_check(out, i0, hs, off):
             break
 
+    if dev_best is not None:
+        ds, di, dj = (int(v) for v in jax.device_get(dev_best))
+        if ds > best:
+            best, best_i, best_j = ds, di, dj
     last_h = np.empty(nj + 1, np.int64)
     last_f = np.empty(nj + 1, np.int64)
     if first_col_reader is not None:

@@ -218,6 +218,36 @@ def _resolve_outputs(cfg, h_true, bus_h, bus_f, st):
     return out
 
 
+@jax.jit
+def merge_best_device(carry, best_v, best_t, i0, off):
+    """Device-side equivalent of resolve_best + running-max merge: reduce
+    the per-slot captures (A, L) to DP-frame (score, i, j) scalars and
+    fold into the running carry — no host transfer per strip (the host
+    round-trip per strip costs more than the strip itself over a tunneled
+    chip).  Tie-break matches resolve_best: smallest i, then smallest j;
+    across strips the earlier strip wins ties (strict > merge), which is
+    the same order because strips advance in i."""
+    s, bi, bj = carry
+    a, lanes = best_v.shape
+    ks = jnp.arange(a, dtype=jnp.int32)[:, None]
+    ls = jnp.arange(lanes, dtype=jnp.int32)[None, :]
+    i = ls * a + ks
+    j = best_t - ls
+    big = jnp.int32(INF)
+    # three-stage lexicographic argmin (int32-safe; x64 is disabled):
+    # max score, then min i among maxima, then min j among those
+    smax = best_v.max()
+    at_max = best_v == smax
+    imin = jnp.where(at_max, i, big).min()
+    jmin = jnp.where(at_max & (i == imin), j, big).min()
+    ni = imin + i0 + 1
+    nj_ = jmin + off + 1
+    upd = smax > s
+    return (jnp.where(upd, smax, s),
+            jnp.where(upd, ni, bi),
+            jnp.where(upd, nj_, bj))
+
+
 def resolve_best(best_v, best_t):
     """Reduce per-(sub-row, lane) best captures (A, L) to (score, i, j) in
     kernel coordinates.  Ties break to smallest i, then smallest j (each
@@ -491,6 +521,44 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         tuple(lce[k] for k in range(nl)),
     )
     return _resolve_outputs(cfg, h_true, bho, bfo, st_like)
+
+
+def _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
+                     best_carry, i0, nj, track):
+    L = cfg.lanes
+    plen = padded_len(cfg, nj)
+    pad = jnp.full(plen - nj, NEG, jnp.int32)
+    out = strip_pallas(cfg, a, b, bus_h, bus_f, ih, ie, corner,
+                       nj=nj, h_true=cfg.rows)
+    bh2 = jnp.concatenate(
+        [jax.lax.dynamic_slice(out["bus_h"], (L - 1,), (nj,)), pad])
+    bf2 = jnp.concatenate(
+        [jax.lax.dynamic_slice(out["bus_f"], (L - 1,), (nj,)), pad])
+    if track:
+        best_carry = merge_best_device(best_carry, out["best_v"],
+                                       out["best_t"], i0, 0)
+    return bh2, bf2, best_carry
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nj", "track"),
+                   donate_argnums=(6, 7))
+def strip_step(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h, bus_f,
+               best_carry, i0, nj: int, track: bool):
+    """One full-height strip as a SINGLE dispatch: kernel + bus realign +
+    on-device best merge fused into one jitted call.  Over a tunneled
+    chip every op dispatch is a host round-trip, so the unfused loop
+    (kernel, two slices, two updates, merge = ~6 dispatches per strip)
+    pays seconds of pure latency on a chromosome-scale run.  Buses are
+    donated (no copy).
+
+    b/bus_h/bus_f: (padded_len,) logical-index arrays.  Returns
+    (bus_h', bus_f', best_carry') with buses in logical indexing.
+    (A lax.scan over strips was tried and is ~2x slower end-to-end: XLA
+    schedules the scanned Pallas call poorly; the host loop with one
+    fused dispatch per strip wins.)
+    """
+    return _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
+                            best_carry, i0, nj, track)
 
 
 def slice_bus(cfg: WavefrontConfig, bus_phys, nj: int, h_true: int):

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Real-chip exactness check: run_partition (pallas backend, grouped
+multi-strip fast path) vs the NumPy oracle on a multi-strip matrix.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/validate_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from masa_tpu.ops import oracle, strips
+    from masa_tpu.ops.wavefront import WavefrontConfig
+    from masa_tpu.types import InitType, Recurrence, ScoreParams
+
+    cfg = WavefrontConfig(alpha=4, rs=8, chunk=2048, track_best=True,
+                          store_lastcol=False)
+    R = cfg.rows  # 4096
+    m, n = 6 * R, 8192
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    s1 = rng.choice(bases, n).astype(np.uint8)
+    # plant a strong alignment so best is unique and off-origin
+    s1[3000:3400] = s0[5 * R + 100 : 5 * R + 500]
+    params = ScoreParams()
+
+    specials = {}
+    res = strips.run_partition(
+        cfg, s0, s1, params,
+        InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+        backend="pallas",
+        special_every=2 * R,
+        on_special_row=lambda r, h, f: specials.__setitem__(r, (h, f)),
+    )
+    ref = oracle.dp_rows(s0, s1, params,
+                         special_rows=tuple(specials.keys()))
+    ok = True
+    if (res.best, res.best_i, res.best_j) != (ref.best, ref.best_i,
+                                              ref.best_j):
+        ok = False
+        print("BEST MISMATCH:", (res.best, res.best_i, res.best_j),
+              (ref.best, ref.best_i, ref.best_j))
+    if not np.array_equal(res.last_h, ref.last_h):
+        ok = False
+        print("LAST H MISMATCH")
+    for r, (h, f) in specials.items():
+        rh, rf = ref.specials[r]
+        if not (np.array_equal(h, rh[1:]) and np.array_equal(f, rf[1:])):
+            ok = False
+            print("SPECIAL ROW MISMATCH at", r)
+    print("grouped-path TPU validation:", "PASS" if ok else "FAIL",
+          f"(best={res.best} at ({res.best_i},{res.best_j}), "
+          f"{len(specials)} special rows)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
