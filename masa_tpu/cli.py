@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ram-size", type=_size, default=1 << 30)
     p.add_argument("--disk-size", type=_size, default=16 << 30)
     p.add_argument("--no-block-pruning", action="store_true")
+    p.add_argument("--dump-blocks", action="store_true",
+                   help="dump per-block score maxima for the SVG "
+                        "pruning plot (common/BlocksFile.cpp)")
+    p.add_argument("--sra-compression", default="none",
+                   choices=["none", "8bit", "4bit", "vlc"],
+                   help="special-rows checkpoint compression")
     p.add_argument("--max-alignments", type=int, default=1)
     p.add_argument("--maximum-partition", type=int, default=16)
     p.add_argument("--stage-4-strategy", default="OPTIMIZED",
@@ -154,6 +160,8 @@ def main(argv=None) -> int:
         stage4_max_partition=args.maximum_partition,
         backend=args.backend,
         block_pruning=not args.no_block_pruning,
+        sra_compression=args.sra_compression,
+        dump_blocks=args.dump_blocks,
     )
     if args.config:
         # the INI file overrides execution resources/strategy
@@ -174,6 +182,25 @@ def main(argv=None) -> int:
         res = sharded_stage1(seq0, seq1, mesh, params=params)
         print(f"stage1 (sharded over {args.split} devices): "
               f"best={res.best}")
+        return 0
+
+    from masa_tpu.core.capabilities import AlignerCapabilities
+
+    caps = AlignerCapabilities()
+    if len(seq1) > caps.maximum_seq1_len:
+        # oversize: chained column slabs with file:// border handoff
+        # (sw_stage1.cpp:362-375 ni x nj splitting)
+        from masa_tpu.parallel.split import align_oversize
+
+        log(f"seq1 exceeds per-run capability "
+            f"({caps.maximum_seq1_len} bp): splitting columns")
+        b, aln = align_oversize(
+            seq0, seq1, caps.maximum_seq1_len, jcfg.work_dir, params,
+            backend="scan" if args.backend == "auto" else args.backend,
+        )
+        print(f"alignment score: {aln.raw_score}  "
+              f"(matches={aln.matches} mismatches={aln.mismatches} "
+              f"gaps={aln.gap_opens}/{aln.gap_extensions})")
         return 0
 
     best = runner.stage1(job, seq0, seq1, log=log)

@@ -131,6 +131,7 @@ def forward_pass(
     prune: bool = False,
     pad_rows: bool = False,
     best_sink=None,
+    blocks_sink=None,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`."""
@@ -164,6 +165,16 @@ def forward_pass(
         )
         for r, (h, f) in res.specials.items():
             put_row(r, h, f)
+        if blocks_sink is not None:
+            # numpy path: block maxima from the special rows (the kernel
+            # path dumps per-strip chunk maxima; this is the viz analogue)
+            cw = max(1, n // 64)
+            ngb = -(-n // cw)
+            for r in sorted(res.specials):
+                h = np.asarray(res.specials[r][0][1:], np.int64)
+                padv = np.full(ngb * cw, h.min(), np.int64)
+                padv[:n] = h
+                blocks_sink(r, padv.reshape(ngb, cw).max(axis=1))
         if best_sink is not None and res.row_best_val is not None:
             for i in range(m):
                 best_sink(i + 1, int(res.row_best_j[i]),
@@ -210,6 +221,7 @@ def forward_pass(
         prune=prune,
         pad_rows=pad_rows,
         stop_check=strip_sink if best_sink is not None else None,
+        blocks_sink=blocks_sink,
     )
     lf = res.last_f.copy()
     lf[0] = col_f_syn[m]

@@ -35,16 +35,58 @@ def _path_points(aln: Alignment, max_points: int = 2048):
     return pts
 
 
-def render_svg(aln: Alignment, m: int, n: int, size: int = 800) -> str:
+def _blocks_heatmap(blocks, w: float, h: float, max_cells: int = 64) -> str:
+    """SVG rects for the per-block score grid (the pruning-area plot,
+    stage6/sw_stage6.cpp:320-376 drawPruningArea): pruned blocks (-INF
+    maxima) render gray; live blocks shade with their max score."""
+    import numpy as np
+
+    grid = np.asarray(blocks)
+    if grid.size == 0:
+        return ""
+    gh, gw = grid.shape
+    sy = max(1, gh // max_cells)
+    sx = max(1, gw // max_cells)
+    ph, pw = -(-gh // sy), -(-gw // sx)
+    pad = np.full((ph * sy, pw * sx), grid.min(), grid.dtype)
+    pad[:gh, :gw] = grid
+    red = pad.reshape(ph, sy, pw, sx).max(axis=(1, 3))
+    pruned = red <= -(10 ** 8)
+    live = red[~pruned]
+    lo, hi = (int(live.min()), int(live.max())) if live.size else (0, 1)
+    cw, ch = w / pw, h / ph
+    out = []
+    for a in range(ph):
+        for b in range(pw):
+            if pruned[a, b]:
+                fill = "#d9d9d9"
+            else:
+                t = (red[a, b] - lo) / max(hi - lo, 1)
+                # white -> steel blue ramp
+                r = int(255 - 185 * t)
+                g = int(255 - 125 * t)
+                out_b = int(255 - 75 * t)
+                fill = f"#{r:02x}{g:02x}{out_b:02x}"
+            out.append(
+                f'<rect x="{b*cw:.1f}" y="{a*ch:.1f}" width="{cw:.2f}" '
+                f'height="{ch:.2f}" fill="{fill}"/>'
+            )
+    return "\n    ".join(out)
+
+
+def render_svg(aln: Alignment, m: int, n: int, size: int = 800,
+               blocks=None) -> str:
     scale = size / max(m, n, 1)
     w, h = n * scale, m * scale
     pts = _path_points(aln)
     poly = " ".join(f"{j*scale:.1f},{i*scale:.1f}" for i, j in pts)
+    heat = _blocks_heatmap(blocks, w, h) if blocks is not None else ""
     return f"""<?xml version="1.0" encoding="UTF-8"?>
 <svg xmlns="http://www.w3.org/2000/svg" width="{w+80:.0f}" height="{h+60:.0f}">
   <g transform="translate(40,40)">
     <rect x="0" y="0" width="{w:.1f}" height="{h:.1f}"
           fill="white" stroke="black"/>
+    {heat}
     <polyline points="{poly}" fill="none" stroke="crimson"
               stroke-width="1.5"/>
     <text x="0" y="-8" font-family="monospace" font-size="12">
