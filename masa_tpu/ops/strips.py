@@ -71,6 +71,7 @@ def run_partition(
     lastcol_writer=None,
     pad_rows: bool = False,
     blocks_sink: Callable | None = None,
+    want_last_row: bool = True,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -347,16 +348,21 @@ def run_partition(
         ds, di, dj = (int(v) for v in jax.device_get(dev_best))
         if ds > best:
             best, best_i, best_j = ds, di, dj
-    last_h = np.empty(nj + 1, np.int64)
-    last_f = np.empty(nj + 1, np.int64)
-    if first_col_reader is not None:
-        last_h[0] = stream_corner
+    if want_last_row:
+        last_h = np.empty(nj + 1, np.int64)
+        last_f = np.empty(nj + 1, np.int64)
+        if first_col_reader is not None:
+            last_h[0] = stream_corner
+        else:
+            ch, ce = _border_vec(col_init, params, 1, i0, first_col)
+            last_h[0] = ch[0]
+        last_f[0] = -INF
+        last_h[1:] = np.asarray(bus_h[:nj])
+        last_f[1:] = np.asarray(bus_f[:nj])
     else:
-        ch, ce = _border_vec(col_init, params, 1, i0, first_col)
-        last_h[0] = ch[0]
-    last_f[0] = -INF
-    last_h[1:] = np.asarray(bus_h[:nj])
-    last_f[1:] = np.asarray(bus_f[:nj])
+        # score-only callers (the SW stage-1 hot loop) skip the final
+        # 2 x O(n) device->host pull
+        last_h = last_f = None
 
     return PartitionResult(
         last_h=last_h,

@@ -35,6 +35,7 @@ class ShardedResult:
     last_h: np.ndarray  # (n_pad,) final-row H across all slabs
     last_f: np.ndarray
     cells: int
+    pruned_strips: np.ndarray | None = None  # per-device skip counts
 
 
 def _strip_fn(cfg, W, backend):
@@ -76,11 +77,23 @@ def sharded_stage1(
     cfg: wf.WavefrontConfig | None = None,
     params: ScoreParams = ScoreParams(),
     backend: str = "scan",
+    prune: bool = False,
 ) -> ShardedResult:
     """Score-only SW forward pass, column-sharded over the mesh.
 
     Zeros borders (local alignment).  Returns the global best score and the
     final DP row (concatenated slabs).
+
+    ``prune=True`` enables **score-share block pruning across shards** (the
+    TPDS2021 distributed pruning the reference could not do over sockets —
+    it disables pruning in multi-GPU runs, libmasa.cpp:1318-1323): the
+    global best circulates through a scalar ``pmax`` every round, and a
+    device skips a strip when
+        max(entering H, 0) + min(rows_left, global cols_right) * match
+    cannot beat it (AbstractBlockPruning::isBlockPrunable bound over the
+    whole remaining matrix, not just the local slab).  Skipped strips write
+    -INF buses/columns (clearPrunedBlocks semantics), which stays exact
+    for SW because fresh alignments restart from 0 anywhere.
     """
     axis = mesh.axis_names[0]
     D = mesh.devices.size
@@ -121,8 +134,10 @@ def sharded_stage1(
         ).astype(jnp.int32)                       # row-0 zeros border
         bus_f0 = jnp.full(blen, NEG, jnp.int32)
 
+        neg_bus = jnp.full(blen, NEG, jnp.int32)
+
         def round_body(carry, r):
-            (bus_h, bus_f, recv_h, recv_e, corner, best) = carry
+            (bus_h, bus_f, recv_h, recv_e, corner, best, npruned) = carry
             s = r - d
             active = jnp.logical_and(s >= 0, s < n_strips)
             s_c = jnp.clip(s, 0, n_strips - 1)
@@ -131,31 +146,64 @@ def sharded_stage1(
             init_e = jnp.where(d == 0, neg_col, recv_e)
             corner_eff = jnp.where(d == 0, 0, corner)
 
+            if prune:
+                # score-share pruning bound over the REMAINING GLOBAL
+                # matrix from this strip's top-left corner
+                entering = jnp.maximum(
+                    jnp.maximum(jnp.max(bus_h), jnp.max(init_h)),
+                    jnp.int32(0),
+                )
+                rows_left = jnp.int32(m) - s_c * R
+                cols_left = jnp.int32(n) - d * W
+                gain = jnp.minimum(rows_left, cols_left) * cfg.match
+                prunable = entering + gain <= best
+                run_it = jnp.logical_and(active, ~prunable)
+                npruned = npruned + jnp.where(
+                    jnp.logical_and(active, prunable), 1, 0
+                )
+            else:
+                run_it = active
+
             def do(_):
                 return run_strip(a_strip, b_ext, bus_h, bus_f,
                                  init_h, init_e, corner_eff)
 
             def skip(_):
+                if prune:
+                    # pruned strips clear their buses/columns to -INF
+                    # (consumed downstream); inactive strips keep state
+                    pr = jnp.logical_and(active, True)
+                    bh_s = jnp.where(pr, neg_bus, bus_h)
+                    bf_s = jnp.where(pr, neg_bus, bus_f)
+                    lc = jnp.where(pr, jnp.full(R, NEG, jnp.int32),
+                                   zero_col)
+                else:
+                    bh_s, bf_s, lc = bus_h, bus_f, zero_col
                 return (
-                    bus_h, bus_f, zero_col, neg_col,
+                    bh_s, bf_s, lc, neg_col,
                     jnp.zeros((cfg.alpha, L), jnp.int32),
                     jnp.zeros((cfg.alpha, L), jnp.int32),
                 )
 
-            bh, bf, lc_h, lc_e, bv, bt = jax.lax.cond(active, do, skip,
+            bh, bf, lc_h, lc_e, bv, bt = jax.lax.cond(run_it, do, skip,
                                                       None)
-            strip_best = jnp.where(active, jnp.max(bv), 0)
+            strip_best = jnp.where(run_it, jnp.max(bv), 0)
             best = jnp.maximum(best, strip_best)
+            if prune:
+                # circulate the global best every round (the score-share)
+                best = jax.lax.pmax(best, axis)
             new_corner = recv_h[R - 1]
             # exchange: last column -> right neighbor
             perm = [(i, i + 1) for i in range(D - 1)]
             nrecv_h = jax.lax.ppermute(lc_h, axis, perm)
             nrecv_e = jax.lax.ppermute(lc_e, axis, perm)
-            return (bh, bf, nrecv_h, nrecv_e, new_corner, best), None
+            return (bh, bf, nrecv_h, nrecv_e, new_corner, best,
+                    npruned), None
 
         init = (bus_h0, bus_f0, zero_col, neg_col,
-                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        (bus_h, bus_f, _, _, _, best), _ = jax.lax.scan(
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32))
+        (bus_h, bus_f, _, _, _, best, npruned), _ = jax.lax.scan(
             round_body, init, jnp.arange(rounds, dtype=jnp.int32)
         )
         best = jax.lax.pmax(best, axis)
@@ -163,16 +211,17 @@ def sharded_stage1(
             best.reshape(1),
             bus_h[:W].reshape(1, W),
             bus_f[:W].reshape(1, W),
+            npruned.reshape(1),
         )
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis, None), P()),
-        out_specs=(P(axis), P(axis, None), P(axis, None)),
+        out_specs=(P(axis), P(axis, None), P(axis, None), P(axis)),
         check_vma=False,
     )
-    best, last_h, last_f = jax.jit(fn)(
+    best, last_h, last_f, npruned = jax.jit(fn)(
         jnp.asarray(b_sharded), jnp.asarray(seq0_pad)
     )
     return ShardedResult(
@@ -180,4 +229,5 @@ def sharded_stage1(
         last_h=np.asarray(last_h).reshape(n_pad),
         last_f=np.asarray(last_f).reshape(n_pad),
         cells=m_pad * n_pad,
+        pruned_strips=np.asarray(npruned),
     )

@@ -132,6 +132,7 @@ def forward_pass(
     pad_rows: bool = False,
     best_sink=None,
     blocks_sink=None,
+    want_last_row: bool = True,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`."""
@@ -222,10 +223,17 @@ def forward_pass(
         pad_rows=pad_rows,
         stop_check=strip_sink if best_sink is not None else None,
         blocks_sink=blocks_sink,
+        # a padded tail strip makes the final row meaningless anyway —
+        # never pay the O(n) pull for it
+        want_last_row=want_last_row and not pad_rows,
     )
-    lf = res.last_f.copy()
-    lf[0] = col_f_syn[m]
-    return FwdResult(res.last_h, lf, res.best, res.best_i, res.best_j,
+    if want_last_row and not pad_rows:
+        lf = res.last_f.copy()
+        lf[0] = col_f_syn[m]
+        lh = res.last_h
+    else:
+        lh = lf = None
+    return FwdResult(lh, lf, res.best, res.best_i, res.best_j,
                      store, res.cells)
 
 

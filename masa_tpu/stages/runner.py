@@ -144,6 +144,20 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 
         blocks = BlocksFile(job.path("blocks.00.bin"))
         blocks_sink = lambda rows_done, maxima: blocks.add_row(maxima)
+
+    # 2-s progress line (the reference's RecurrentTimer,
+    # sw_stage1.cpp:315,378) reading the crash-safe status file state
+    from masa_tpu.utils.timer import RecurrentTimer, Timer
+
+    def _tick():
+        r = max(job.status.last_special_row, 0)
+        log(f"stage1: ... flushed row {r}/{m} "
+            f"({100.0 * r / max(m, 1):.1f}%)")
+
+    timer = Timer()
+    timer.create_event("compute")
+    ticker = RecurrentTimer(2.0, _tick)
+    ticker.start()
     res = core.forward_pass(
         seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
         first_row=first_row, first_col=first_col,
@@ -154,9 +168,13 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         best_sink=sink,
         blocks_sink=blocks_sink,
     )
+    ticker.stop()
+    timer.event_record("compute")
     if blocks is not None:
         blocks.save()
         log(f"stage1: wrote {blocks.path}")
+    with job.stats_file(STAGE_1, 0) as fh:
+        timer.print_statistics(fh, cells=res.cells)
 
     if rec == Recurrence.SMITH_WATERMAN:
         best.add(r0 + res.best_i, res.best_j, res.best)
@@ -217,6 +235,9 @@ def stage2(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
     out_cpf.crosspoints = cps
     out_cpf.save()
     job.status.update(stage=STAGE_2)
+    with job.stats_file(STAGE_2, aln_id) as fh:
+        fh.write(f"  crosspoints: {len(cps)}\n")
+        fh.write(f"  total_ms: {(time.time()-t0)*1000:.3f}\n")
     log(f"stage2: {len(cps)} crosspoints in {time.time()-t0:.2f}s")
     return cps
 
@@ -244,6 +265,12 @@ def stage3(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
     out_cpf.crosspoints = cps
     out_cpf.save()
     job.status.update(stage=STAGE_3)
+    from masa_tpu.utils.memory import process_vm_size
+
+    with job.stats_file(STAGE_3, aln_id) as fh:
+        fh.write(f"  crosspoints: {len(cps)}\n")
+        fh.write(f"  total_ms: {(time.time()-t0)*1000:.3f}\n")
+        fh.write(f"  vm_size_mb: {process_vm_size() >> 20}\n")
     log(f"stage3: {len(cps)} crosspoints in {time.time()-t0:.2f}s")
     return cps
 
@@ -290,6 +317,9 @@ def stage4(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
     out_cpf.crosspoints = cps
     out_cpf.save()
     job.status.update(stage=STAGE_4)
+    with job.stats_file(STAGE_4, aln_id) as fh:
+        fh.write(f"  crosspoints: {len(cps)}\n")
+        fh.write(f"  total_ms: {(time.time()-t0)*1000:.3f}\n")
     log(f"stage4: {len(cps)} crosspoints in {time.time()-t0:.2f}s")
     return cps
 

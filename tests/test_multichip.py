@@ -48,3 +48,47 @@ class TestShardedStage1:
         n = len(s1)
         assert np.array_equal(canon(res.last_h[:n]), canon(ref.last_h[1:]))
         assert np.array_equal(canon(res.last_f[:n]), canon(ref.last_f[1:]))
+
+
+class TestScoreSharePruning:
+    """Distributed score-share pruning (TPDS2021) — the feature the
+    reference DISABLES in multi-GPU runs (libmasa.cpp:1318-1323)."""
+
+    def test_exact_best_with_pruning(self, dna, homolog):
+        import numpy as np
+
+        from masa_tpu.ops import oracle
+        from masa_tpu.ops.wavefront import WavefrontConfig
+        from masa_tpu.parallel.mesh import make_mesh
+        from masa_tpu.parallel.sharded import sharded_stage1
+        from masa_tpu.types import ScoreParams
+
+        P = ScoreParams()
+        cfg = WavefrontConfig(alpha=2, rs=1, chunk=256, track_best=True,
+                              store_lastcol=True)
+        mesh = make_mesh(8)
+        # similar pair: the best lands early, later strips prune
+        s0 = dna(2048, seed=61)
+        s1 = homolog(s0, seed=62)
+        ref = oracle.dp_rows(s0, s1, P)
+        res = sharded_stage1(s0, s1, mesh, cfg, P, prune=True)
+        assert res.best == ref.best
+        assert res.pruned_strips is not None
+        assert int(np.sum(res.pruned_strips)) > 0
+
+    def test_exact_best_random_pair_no_overprune(self, dna):
+        from masa_tpu.ops import oracle
+        from masa_tpu.ops.wavefront import WavefrontConfig
+        from masa_tpu.parallel.mesh import make_mesh
+        from masa_tpu.parallel.sharded import sharded_stage1
+        from masa_tpu.types import ScoreParams
+
+        P = ScoreParams()
+        cfg = WavefrontConfig(alpha=2, rs=1, chunk=256, track_best=True,
+                              store_lastcol=True)
+        mesh = make_mesh(8)
+        s0 = dna(1500, seed=63)
+        s1 = dna(1700, seed=64)
+        ref = oracle.dp_rows(s0, s1, P)
+        res = sharded_stage1(s0, s1, mesh, cfg, P, prune=True)
+        assert res.best == ref.best
