@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-format", default="text",
                    choices=["text", "svg", "binary"])
     # multi-device
-    p.add_argument("--split", type=int, default=0,
+    p.add_argument("--split", default="0",
                    help="column-shard stage 1 over N devices")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "kernel"])
@@ -158,6 +158,7 @@ def main(argv=None) -> int:
         max_alignments=args.max_alignments,
         clear=args.clear,
         stage4_max_partition=args.maximum_partition,
+        stage4_strategy=args.stage_4_strategy.upper(),
         backend=args.backend,
         block_pruning=not args.no_block_pruning,
         sra_compression=args.sra_compression,
@@ -174,13 +175,39 @@ def main(argv=None) -> int:
 
     log = print if args.verbose else (lambda *a, **k: None)
 
-    if args.split:
+    # --split=N shards over N devices; --split=W1,..,Wn gives weighted
+    # column slabs (the reference's fork-weight syntax, libmasa.cpp:497)
+    split_weights = [float(x) for x in str(args.split).split(",")]
+    if len(split_weights) > 1:
+        from masa_tpu.parallel.split import (
+            pipelined_traceback, run_part_stage1, split_points,
+        )
+
+        points = split_points(len(seq1), split_weights)
+        from masa_tpu.parallel.split import auto_urls
+
+        urls = auto_urls(jcfg.work_dir, len(split_weights))
+        parts = []
+        for k in range(len(split_weights)):
+            parts.append(run_part_stage1(
+                seq0, seq1, k, points, params,
+                load_url=urls[k - 1] if k > 0 else None,
+                flush_url=urls[k] if k < len(split_weights) - 1 else None,
+                buffered=False,
+            ))
+        b = max(p.best for p in parts)
+        print(f"stage1 (weighted column split "
+              f"{[p.j1 - p.j0 for p in parts]}): best={b}")
+        return 0
+    if int(split_weights[0]):
         from masa_tpu.parallel.mesh import make_mesh
         from masa_tpu.parallel.sharded import sharded_stage1
 
-        mesh = make_mesh(args.split)
-        res = sharded_stage1(seq0, seq1, mesh, params=params)
-        print(f"stage1 (sharded over {args.split} devices): "
+        nsh = int(split_weights[0])
+        mesh = make_mesh(nsh)
+        res = sharded_stage1(seq0, seq1, mesh, params=params,
+                             prune=not args.no_block_pruning)
+        print(f"stage1 (sharded over {nsh} devices): "
               f"best={res.best}")
         return 0
 

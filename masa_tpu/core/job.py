@@ -34,6 +34,7 @@ class JobConfig:
     max_alignments: int = 1
     clear: bool = False
     stage4_max_partition: int = 16
+    stage4_strategy: str = "OPTIMIZED"  # ORIGINAL_MM / ORTHOGONAL / OPTIMIZED
     stage5_max_cells: int = 1 << 18
     backend: str = "auto"
     block_pruning: bool = True

@@ -276,11 +276,13 @@ def stage3(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
 
 
 def stage4(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
-           strategy=mm.SplitStrategy.OPTIMIZED, log=print
+           strategy=None, log=print
            ) -> list[Crosspoint]:
     """Myers-Miller mid-splitting until <= maximum-partition
     (sw_stage4.cpp:883)."""
     t0 = time.time()
+    if strategy is None:
+        strategy = mm.SplitStrategy[job.cfg.stage4_strategy]
     out_cpf = job.crosspoints_file(STAGE_4, aln_id)
 
     import os

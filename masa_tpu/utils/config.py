@@ -87,3 +87,5 @@ def apply_to_job_config(cfg: EngineConfig, jcfg) -> None:
     s4 = cfg.stages.get(4)
     if s4 and s4.maximum_partition is not None:
         jcfg.stage4_max_partition = s4.maximum_partition
+    if s4 and s4.stage4_strategy is not None:
+        jcfg.stage4_strategy = s4.stage4_strategy.upper()
