@@ -18,6 +18,10 @@ BASELINE_GCUPS = 25.82  # 1M x 1M on GTX 560 Ti (TPDS2013)
 
 def main():
     import jax
+
+    from masa_tpu.utils.devices import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     import numpy as np
 
     on_tpu = jax.default_backend() == "tpu"

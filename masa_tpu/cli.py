@@ -111,6 +111,9 @@ def _apply_modifiers(args, which: str, idx: int) -> dict:
 
 
 def main(argv=None) -> int:
+    from masa_tpu.utils.devices import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     import sys as _sys
 
     if argv is None:
@@ -221,9 +224,12 @@ def main(argv=None) -> int:
 
         log(f"seq1 exceeds per-run capability "
             f"({caps.maximum_seq1_len} bp): splitting columns")
+        from masa_tpu.stages.core import default_backend
+
         b, aln = align_oversize(
             seq0, seq1, caps.maximum_seq1_len, jcfg.work_dir, params,
-            backend="scan" if args.backend == "auto" else args.backend,
+            backend=default_backend() if args.backend == "auto"
+            else args.backend,
         )
         print(f"alignment score: {aln.raw_score}  "
               f"(matches={aln.matches} mismatches={aln.mismatches} "

@@ -123,7 +123,7 @@ def traceback_ops(seq0: np.ndarray, seq1: np.ndarray, type_s: int,
 
 
 def reduce_partitions(seq0, seq1, cps, params, mps: int,
-                      nthreads: int = 4) -> list:
+                      nthreads: int | None = None) -> list:
     """Native stage-4 reduce: split every adjacent crosspoint pair until
     max(height, width) <= mps, fanned over a thread pool (the reference's
     4-pthread reduce_partitions, stage4/sw_stage4.cpp:806-852).
@@ -133,6 +133,8 @@ def reduce_partitions(seq0, seq1, cps, params, mps: int,
     """
     from masa_tpu.types import Crosspoint
 
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 4)
     lib = _load()
     seq0 = np.ascontiguousarray(seq0, np.uint8)
     seq1 = np.ascontiguousarray(seq1, np.uint8)

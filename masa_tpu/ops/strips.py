@@ -27,6 +27,20 @@ def pl_cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def quantize_cols(nj: int, quantum: int = 128) -> int:
+    """Round nj up to one of ~8 buckets per octave (lane-aligned).  The
+    kernel is compiled per column count; unquantized traceback partitions
+    (arbitrary widths) trigger a remote compile EACH — tens of seconds per
+    shape — while padded sentinel columns cost <= 12.5% extra compute and
+    cannot change any real-region value (DP dependencies only flow
+    rightward; sentinel chars never match, so padded-region scores only
+    decay and can never win a strict-> best update)."""
+    if nj <= quantum:
+        return quantum
+    q = max(quantum, 1 << max(nj.bit_length() - 4, 0))
+    return -(-nj // q) * q
+
+
 @dataclasses.dataclass
 class PartitionResult:
     last_h: np.ndarray          # (n+1,) DP last row H (index 0 = border)
@@ -89,6 +103,10 @@ def run_partition(
     """
     m, nj = len(seq0), len(seq1)
     assert nj >= 1
+    nj_out = nj  # the real width; every output/pull is sliced to it
+    if (backend == "pallas" and not cfg.interpret
+            and not cfg.store_lastcol and lastcol_writer is None):
+        nj = quantize_cols(nj)
     R = cfg.rows
     # pad_rows: iterate whole strips only (sentinel rows in the tail
     # strip); every strip then hits the one full-height compile.  Sentinel
@@ -113,16 +131,16 @@ def run_partition(
     ) and not cfg.store_lastcol
 
     b = np.full(blen, wf.B_SENTINEL, dtype=np.int32)
-    b[:nj] = np.asarray(seq1, np.int32)
+    b[:nj_out] = np.asarray(seq1, np.int32)
     b = jnp.asarray(b)
 
     row_h, row_f = _border_vec(
-        row_init, params, nj + 1, 0, first_row
+        row_init, params, nj_out + 1, 0, first_row
     )
     bus_h = np.full(blen, -INF, dtype=np.int32)
     bus_f = np.full(blen, -INF, dtype=np.int32)
-    bus_h[:nj] = row_h[1:]
-    bus_f[:nj] = row_f[1:]
+    bus_h[:nj_out] = row_h[1:]
+    bus_f[:nj_out] = row_f[1:]
     bus_h, bus_f = jnp.asarray(bus_h), jnp.asarray(bus_f)
 
     best, best_i, best_j = -INF, 0, 0
@@ -141,7 +159,7 @@ def run_partition(
     col_e = np.empty(m + 1, np.int64) if cfg.store_lastcol else None
     if cfg.store_lastcol:
         rh, rf = row_h, row_f
-        col_h[0] = rh[nj]
+        col_h[0] = rh[nj_out]
         col_e[0] = -INF
 
     specials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -151,6 +169,14 @@ def run_partition(
     dev_best = None  # on-device (score, i, j) accumulator
     stream_corner = int(row_h[0])  # H(i0, 0) carried between strip reads
     plen = wf.padded_len(cfg, nj)
+
+    # delta-packed pulls only pay off when the pull crosses PCIe/tunnel
+    import jax as _jax
+    packed_pull = _jax.default_backend() != "cpu"
+
+    def pull(bus):
+        return wf.pull_row_delta(bus, nj_out) if packed_pull \
+            else np.asarray(bus[:nj_out]).astype(np.int64)
     i0 = 0
     while i0 < m_iter:
         hs = min(R, m_iter - i0)
@@ -203,11 +229,11 @@ def run_partition(
                 bus_f = jnp.concatenate([bf_p, fill])
                 if cfg.track_best:
                     dev_best = carry
-                cells += g * R * nj
+                cells += g * R * nj_out
                 i0 += g * R
                 if special_every and i0 % special_every == 0 and i0 < m:
-                    bh = np.asarray(bus_h[:nj])
-                    bf = np.asarray(bus_f[:nj])
+                    bh = pull(bus_h)
+                    bf = pull(bus_f)
                     specials[i0] = (bh, bf)
                     if on_special_row:
                         on_special_row(i0, bh, bf)
@@ -238,12 +264,12 @@ def run_partition(
                 np.asarray(bus_h[: ng * C]), ng, C
             )
             wl, wr = pruning.pruning_window(
-                busmax, best, i0, m, nj, C, params,
+                busmax, best, i0, m, nj_out, C, params,
                 border_max=int(ich.max()),
             )
             if wl == wr:
                 skip_strip = True
-                pruned_cells += hs * nj
+                pruned_cells += hs * nj_out
                 bus_h = jnp.full(blen, -INF, jnp.int32)
                 bus_f = jnp.full(blen, -INF, jnp.int32)
                 out = None
@@ -272,7 +298,7 @@ def run_partition(
                     corner_w = -INF
                 else:
                     ih_w, ie_w, corner_w = init_h, init_e, corner
-                pruned_cells += max(0, hs * (nj - nj_w))
+                pruned_cells += max(0, hs * (nj_out - nj_w))
             else:
                 nj_w, off = nj, 0
                 b_w, bh_w, bf_w = b, bus_h, bus_f
@@ -302,7 +328,7 @@ def run_partition(
             neg_full = jnp.full(blen, -INF, jnp.int32)
             bus_h = jax.lax.dynamic_update_slice(neg_full, new_bh, (off,))
             bus_f = jax.lax.dynamic_update_slice(neg_full, new_bf, (off,))
-            cells += hs * nj_w
+            cells += hs * min(nj_w, nj_out)
 
             if cfg.track_best:
                 if stop_check is None and on_special_row is None \
@@ -336,8 +362,8 @@ def run_partition(
                 np.asarray(bus_h[: ng * C]), ng, C))
         is_special = special_every and i0 % special_every == 0 and i0 < m
         if is_special:
-            bh = np.asarray(bus_h[:nj])
-            bf = np.asarray(bus_f[:nj])
+            bh = pull(bus_h)
+            bf = pull(bus_f)
             specials[i0] = (bh, bf)
             if on_special_row:
                 on_special_row(i0, bh, bf)
@@ -349,16 +375,16 @@ def run_partition(
         if ds > best:
             best, best_i, best_j = ds, di, dj
     if want_last_row:
-        last_h = np.empty(nj + 1, np.int64)
-        last_f = np.empty(nj + 1, np.int64)
+        last_h = np.empty(nj_out + 1, np.int64)
+        last_f = np.empty(nj_out + 1, np.int64)
         if first_col_reader is not None:
             last_h[0] = stream_corner
         else:
             ch, ce = _border_vec(col_init, params, 1, i0, first_col)
             last_h[0] = ch[0]
         last_f[0] = -INF
-        last_h[1:] = np.asarray(bus_h[:nj])
-        last_f[1:] = np.asarray(bus_f[:nj])
+        last_h[1:] = pull(bus_h)
+        last_f[1:] = pull(bus_f)
     else:
         # score-only callers (the SW stage-1 hot loop) skip the final
         # 2 x O(n) device->host pull

@@ -188,15 +188,27 @@ def _make_step(cfg: WavefrontConfig, nj: int, h_true: int, fast: bool):
     return make
 
 
-def _init_state(cfg: WavefrontConfig, corner):
+def _init_state(cfg: WavefrontConfig, corner, init_h, init_e):
+    """Initial scan state.  hh/ee are seeded with the LEFT BORDER values:
+    every lane l >= 1 receives its border at its at_border step (t = l-1),
+    but lane 0 has no step -1 — its "previous column" IS the border, so
+    the initial state must carry init_h/init_e for the in-lane diagonal
+    (hh[k-1]) and E chain at kernel column 0 to be correct for rows
+    k >= 1.  (Other lanes' seeded values are overwritten at their
+    at_border step before first use.)"""
     z = jnp.full((cfg.rs, 128), NEG, jnp.int32)
     zz = jnp.full((cfg.rs, 128), -3, jnp.int32)  # never equals chars/sentinels
     t0 = jnp.zeros((cfg.rs, 128), jnp.int32)
     a = cfg.alpha
     nb = a if cfg.track_best else 0
     nl = a if cfg.store_lastcol else 0
+    # r3h1 seeds the bottom-row chain: at t=1, lane 1's diagonal reads
+    # r3h2 (= this initial r3h1), which must hold lane 0's bottom-row
+    # BORDER value (lanes >= 2 get theirs from lane l-1's at_border step).
     return (
-        (z,) * a, (z,) * a, z, z, z, zz,
+        tuple(init_h[k] for k in range(a)),
+        tuple(init_e[k] for k in range(a)),
+        init_h[a - 1], z, z, zz,
         jnp.asarray(corner, jnp.int32).reshape(1, 1),
         (z,) * nb, (t0,) * nb, (z,) * nl, (z,) * nl,
     )
@@ -323,12 +335,86 @@ def strip_scan(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
 
     ts = jnp.arange(T, dtype=jnp.int32)
     st, ys = jax.lax.scan(
-        body, _init_state(cfg, corner),
+        body,
+        _init_state(cfg, corner,
+                    [init_h[k] for k in range(cfg.alpha)],
+                    [init_e[k] for k in range(cfg.alpha)]),
         (ts, b[:T], bus_h[:T], bus_f[:T]),
     )
     bus_h_out = jax.lax.dynamic_slice(ys[0], (lane,), (nj,))
     bus_f_out = jax.lax.dynamic_slice(ys[1], (lane,), (nj,))
     return _resolve_outputs(cfg, h_true, bus_h_out, bus_f_out, st)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "T"))
+def strip_scan_dyn(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f,
+                   init_h, init_e, corner, nj, h_true, T: int):
+    """Dynamic-shape scan twin: ``nj`` and ``h_true`` are TRACED scalars;
+    only the scan length ``T`` (>= steps(nj)) is a compile key.  Built for
+    level-batched traceback stages, where partition widths/heights vary
+    per call and a static-shape kernel would compile once per shape (a
+    remote TPU compile costs 10-90 s).  NW, no best/lastcol tracking.
+
+    Returns the PHYSICAL flush-row buses of length T: logical column j
+    of the strip's last row sits at index j + (h_true-1)//alpha (the
+    flush lane), which the (host) caller slices off.
+    """
+    a = cfg.alpha
+    go, ge = cfg.gap_open, cfg.gap_ext
+    rs = cfg.rs
+
+    a_lanes_l = [a_lanes[k] for k in range(a)]
+    init_h_l = [init_h[k] for k in range(a)]
+    init_e_l = [init_e[k] for k in range(a)]
+    li = _lane_iota(rs)
+    k_flush = (h_true - 1) % a
+    fl_lane = (h_true - 1) // a
+    fr, fc = fl_lane // 128, fl_lane % 128
+
+    def step(st, xs):
+        t, b_t, bus_h_t, bus_f_t = xs
+        (hh, ee, r3h1, r3h2, r3f, rb0, bus_h_prev) = st
+        up_h = _shift(r3h1, bus_h_t)
+        up_f = _shift(r3f, bus_f_t)
+        dg_h = _shift(r3h2, bus_h_prev)
+        rb = _shift(rb0, b_t)
+        j_vec = t - li
+        at_border = j_vec == -1
+
+        hs, es, fs = [], [], []
+        for k in range(a):
+            e_k = jnp.maximum(hh[k] - go, ee[k]) - ge
+            uh = up_h if k == 0 else hs[k - 1]
+            uf = up_f if k == 0 else fs[k - 1]
+            f_k = jnp.maximum(uh - go, uf) - ge
+            dg = dg_h if k == 0 else hh[k - 1]
+            sub = jnp.where(a_lanes_l[k] == rb, cfg.match, cfg.mismatch)
+            h_k = jnp.maximum(jnp.maximum(dg + sub, e_k), f_k)
+            h_k = jnp.where(at_border, init_h_l[k], h_k)
+            e_k = jnp.where(at_border, init_e_l[k], e_k)
+            hs.append(h_k)
+            es.append(e_k)
+            fs.append(f_k)
+
+        st2 = (tuple(hs), tuple(es), hs[a - 1], r3h1, fs[a - 1], rb,
+               jnp.asarray(bus_h_t, jnp.int32).reshape(1, 1))
+        # traced flush-row select: stack the a candidates, pick k_flush,
+        # then the (fr, fc) element
+        h_all = jnp.stack(hs)  # (a, rs, 128)
+        f_all = jnp.stack(fs)
+        h_fl = jax.lax.dynamic_slice(
+            h_all, (k_flush, fr, fc), (1, 1, 1)).reshape(())
+        f_fl = jax.lax.dynamic_slice(
+            f_all, (k_flush, fr, fc), (1, 1, 1)).reshape(())
+        return st2, (h_fl, f_fl)
+
+    z = jnp.full((rs, 128), NEG, jnp.int32)
+    zz = jnp.full((rs, 128), -3, jnp.int32)
+    st0 = (tuple(init_h_l), tuple(init_e_l), init_h_l[a - 1], z, z, zz,
+           jnp.asarray(corner, jnp.int32).reshape(1, 1))
+    ts = jnp.arange(T, dtype=jnp.int32)
+    _, ys = jax.lax.scan(step, st0, (ts, b[:T], bus_h[:T], bus_f[:T]))
+    return ys[0], ys[1]
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +487,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
 
         st0 = jax.lax.cond(
             g == 0,
-            lambda: _init_state(cfg, corner_ref[0]),
+            lambda: _init_state(cfg, corner_ref[0], init_h_v, init_e_v),
             load_state,
         )
 
@@ -559,6 +645,41 @@ def strip_step(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h, bus_f,
     """
     return _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
                             best_carry, i0, nj, track)
+
+
+@functools.partial(jax.jit, static_argnames=("nj",))
+def delta_pack_device(v, nj: int):
+    """Delta-encode the first nj elements to int8 on DEVICE (escape -128
+    for |delta| > 127).  A DP row's deltas are bounded by the scoring
+    params (see io/rowcodec.py), so this cuts the device->host pull 4x —
+    the pull, not the compute, dominates special-row flushes (PCIe on
+    real hardware; ~0.4 s/MB over a tunneled chip)."""
+    x = v[:nj].astype(jnp.int32)
+    dh = jnp.concatenate([x[:1], x[1:] - x[:-1]])
+    small = jnp.abs(dh) <= 127
+    return jnp.where(small, dh, -128).astype(jnp.int8)
+
+
+@jax.jit
+def gather_device(v, idx):
+    return jnp.take(v, idx)
+
+
+def pull_row_delta(bus, nj: int) -> np.ndarray:
+    """Host side of delta_pack_device: pull nj bytes, reconstruct int64
+    exactly (escaped positions are re-fetched at full width)."""
+    b = np.asarray(delta_pack_device(bus, nj))
+    out = np.cumsum(b.astype(np.int64))
+    mark = np.nonzero(b == -128)[0]
+    if len(mark):
+        exact = np.asarray(
+            gather_device(bus, jnp.asarray(mark, jnp.int32))
+        ).astype(np.int64)
+        corr = exact - out[mark]
+        add = np.zeros(nj, np.int64)
+        add[mark] = np.diff(np.concatenate([[0], corr]))
+        out += np.cumsum(add)
+    return out
 
 
 def slice_bus(cfg: WavefrontConfig, bus_phys, nj: int, h_true: int):

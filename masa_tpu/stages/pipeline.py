@@ -157,8 +157,10 @@ def _densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, depth):
     sub0 = np.ascontiguousarray(seq0[c0.i : c1.i])
     sub1 = np.ascontiguousarray(seq1[c0.j : c1.j])
     row_init, col_init = core.init_types_for(c0.type)
-    kcfg = pcfg.kernel_cfg or core.adaptive_config(max(h // 8, 1))
-    # ladder: ~8 bands per level, aligned to strips for the kernel path
+    # full-size strips: fewer, faster dispatches beat denser bands (the
+    # per-dispatch cost dominates mid-size partitions on a remote chip)
+    kcfg = pcfg.kernel_cfg or core.adaptive_config(h)
+    # ladder: >= 4 bands per level, aligned to strips for the kernel path
     iv = max(h // 8, 1)
     if h * w >= 16_000_000:
         r = kcfg.rows

@@ -42,3 +42,26 @@ def format_device_list() -> str:
             f"(process {d['process']})"
         )
     return "\n".join(lines)
+
+
+def enable_persistent_compile_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a local directory
+    (MASA_TPU_JAX_CACHE overrides).  Kernel compiles on a remote-compile
+    TPU service cost 10-90 s each; the cache makes every repeat process
+    hit disk instead.  Returns the cache dir (None if unavailable)."""
+    import os
+
+    import jax
+
+    path = os.environ.get(
+        "MASA_TPU_JAX_CACHE",
+        os.path.expanduser("~/.cache/masa_tpu_jax"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+        return path
+    except Exception:
+        return None

