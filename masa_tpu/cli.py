@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="column-shard stage 1 over N devices")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "kernel"])
+    p.add_argument("--test", action="store_true",
+                   help="run a built-in self-check (kernel vs oracle on "
+                        "a random pair) and exit — the reference's "
+                        "--test throws Not Implemented")
     p.add_argument("--list-devices", action="store_true",
                    help="list accelerators and exit")
     p.add_argument("--config", default=None,
@@ -118,6 +122,8 @@ def main(argv=None) -> int:
 
     if argv is None:
         argv = _sys.argv[1:]
+    if "--test" in argv:
+        return _self_test()
     if "--list-devices" in argv:
         from masa_tpu.utils.devices import format_device_list
 
@@ -252,3 +258,45 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _self_test() -> int:
+    """Built-in self-check (the --test flag; libmasa.cpp:1195-1199 throws
+    "Not Implemented" — here it works): align a random homologous pair
+    end-to-end in memory and cross-check every layer against the oracle.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from masa_tpu.ops import oracle
+    from masa_tpu.stages import pipeline, stage6
+    from masa_tpu.types import ScoreParams
+
+    rng = np.random.default_rng(12345)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    m = 2000
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    s1 = s0.copy()
+    idx = rng.random(m) < 0.08
+    s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
+    s1 = np.delete(s1, np.arange(900, 930))
+    params = ScoreParams()
+    ref = oracle.dp_rows(s0, s1, params)
+    pcfg = pipeline.PipelineConfig(params=params,
+                                   max_cells_stage5=1 << 14)
+    res, endpoint = pipeline.stage1_pass(s0, s1, pcfg)
+    ok = endpoint.score == ref.best
+    print(f"stage1 best: {endpoint.score} (oracle {ref.best})"
+          f" {'OK' if ok else 'FAIL'}")
+    cps = pipeline.stage2_march(s0, s1, pcfg, endpoint, res.specials)
+    cps = pipeline.stage3_densify(s0, s1, pcfg, cps)
+    aln = pipeline.stage5_emit(s0, s1, pcfg, cps)
+    stage6.recheck(aln, s0, s1, params)
+    ok2 = aln.raw_score == ref.best
+    print(f"traceback score: {aln.raw_score} "
+          f"(matches={aln.matches} mismatches={aln.mismatches} "
+          f"gaps={aln.gap_opens}/{aln.gap_extensions})"
+          f" {'OK' if ok2 else 'FAIL'}")
+    print("self-test:", "PASS" if ok and ok2 else "FAIL")
+    return 0 if ok and ok2 else 1

@@ -260,9 +260,7 @@ def run_partition(
         wa, wn, off = 0, ng, 0
         skip_strip = False
         if prune:
-            busmax = pruning.chunk_maxima(
-                np.asarray(bus_h[: ng * C]), ng, C
-            )
+            busmax = np.asarray(wf.chunk_max_device(bus_h, ng, C))
             wl, wr = pruning.pruning_window(
                 busmax, best, i0, m, nj_out, C, params,
                 border_max=int(ich.max()),
@@ -331,17 +329,19 @@ def run_partition(
             cells += hs * min(nj_w, nj_out)
 
             if cfg.track_best:
-                if stop_check is None and on_special_row is None \
-                        and not prune:
+                if stop_check is None:
                     # No per-strip host consumer: fold the best on-device
-                    # and materialize once at the end (a host round-trip
-                    # per strip costs ~0.3-0.5 s over a tunneled chip).
+                    # (a 1 MB capture pull per strip costs ~0.4 s over a
+                    # tunneled chip).  The pruning window only needs the
+                    # SCALAR best, pulled per strip below.
                     if dev_best is None:
                         dev_best = (jnp.int32(best), jnp.int32(best_i),
                                     jnp.int32(best_j))
                     dev_best = wf.merge_best_device(
                         dev_best, out["best_v"], out["best_t"], i0, off
                     )
+                    if prune:
+                        best = int(dev_best[0])
                 else:
                     s, bi, bj = wf.resolve_best(out["best_v"],
                                                 out["best_t"])
@@ -371,9 +371,9 @@ def run_partition(
             break
 
     if dev_best is not None:
-        ds, di, dj = (int(v) for v in jax.device_get(dev_best))
-        if ds > best:
-            best, best_i, best_j = ds, di, dj
+        # the device carry was seeded with the initial host best (border
+        # candidates) and tie-breaks on-device — it IS the final answer
+        best, best_i, best_j = (int(v) for v in jax.device_get(dev_best))
     if want_last_row:
         last_h = np.empty(nj_out + 1, np.int64)
         last_f = np.empty(nj_out + 1, np.int64)

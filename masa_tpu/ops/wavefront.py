@@ -665,6 +665,13 @@ def gather_device(v, idx):
     return jnp.take(v, idx)
 
 
+@functools.partial(jax.jit, static_argnames=("ng", "chunk"))
+def chunk_max_device(bus, ng: int, chunk: int):
+    """Per-chunk maxima of the bus, reduced ON DEVICE: the pruning window
+    needs ng ints, not the 4 MB bus (core/pruning.chunk_maxima's input)."""
+    return jnp.max(bus[: ng * chunk].reshape(ng, chunk), axis=1)
+
+
 def pull_row_delta(bus, nj: int) -> np.ndarray:
     """Host side of delta_pack_device: pull nj bytes, reconstruct int64
     exactly (escaped positions are re-fetched at full width)."""

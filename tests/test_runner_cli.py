@@ -133,3 +133,11 @@ class TestMultiAlignment:
         a1 = read_cgff(job.path("alignment.01.cgff"))
         assert a0.raw_score == 200  # the longer exact repeat
         assert a1.raw_score == 150
+
+
+def test_cli_self_test():
+    """--test runs the built-in self-check (the reference's --test throws
+    'Not Implemented', libmasa.cpp:1195-1199)."""
+    from masa_tpu.cli import main
+
+    assert main(["a.fa", "b.fa", "--test"]) == 0

@@ -60,3 +60,23 @@ class TestStage4:
         reduced = mm.reduce_partitions(s0, s1, cps, P, max_partition=16)
         aln = pipeline.stage5_emit(s0, s1, pcfg, reduced)
         stage6.recheck(aln, s0, s1, P)
+
+
+def test_svg_blocks_heatmap():
+    """--dump-blocks grid renders as a heatmap layer in the SVG
+    (stage6 drawPruningArea analogue)."""
+    import numpy as np
+
+    from masa_tpu.biology.alignment import Alignment
+    from masa_tpu.stages.svg import render_svg
+
+    aln = Alignment(sequences=[])
+    aln.start = (1, 1)
+    aln.end = (10, 10)
+    aln.raw_score = 10
+    grid = np.zeros((4, 8), np.int32)
+    grid[1, 2] = 50
+    grid[2, :] = -999999999  # pruned row
+    out = render_svg(aln, 10, 10, blocks=grid)
+    assert out.count("<rect") >= 32  # 4x8 heatmap + frame
+    assert "#d9d9d9" in out  # pruned cells gray
