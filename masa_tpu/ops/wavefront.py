@@ -610,26 +610,29 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
 
 
 def _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
-                     best_carry, i0, nj, track):
-    L = cfg.lanes
+                     best_carry, i0, nj, track, h_true=None):
+    h_true = cfg.rows if h_true is None else h_true
+    lane = (h_true - 1) // cfg.alpha
     plen = padded_len(cfg, nj)
     pad = jnp.full(plen - nj, NEG, jnp.int32)
     out = strip_pallas(cfg, a, b, bus_h, bus_f, ih, ie, corner,
-                       nj=nj, h_true=cfg.rows)
+                       nj=nj, h_true=h_true)
     bh2 = jnp.concatenate(
-        [jax.lax.dynamic_slice(out["bus_h"], (L - 1,), (nj,)), pad])
+        [jax.lax.dynamic_slice(out["bus_h"], (lane,), (nj,)), pad])
     bf2 = jnp.concatenate(
-        [jax.lax.dynamic_slice(out["bus_f"], (L - 1,), (nj,)), pad])
+        [jax.lax.dynamic_slice(out["bus_f"], (lane,), (nj,)), pad])
     if track:
         best_carry = merge_best_device(best_carry, out["best_v"],
                                        out["best_t"], i0, 0)
     return bh2, bf2, best_carry
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nj", "track"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "nj", "track", "h_true"),
                    donate_argnums=(6, 7))
 def strip_step(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h, bus_f,
-               best_carry, i0, nj: int, track: bool):
+               best_carry, i0, nj: int, track: bool,
+               h_true: int | None = None):
     """One full-height strip as a SINGLE dispatch: kernel + bus realign +
     on-device best merge fused into one jitted call.  Over a tunneled
     chip every op dispatch is a host round-trip, so the unfused loop
@@ -644,7 +647,7 @@ def strip_step(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h, bus_f,
     fused dispatch per strip wins.)
     """
     return _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
-                            best_carry, i0, nj, track)
+                            best_carry, i0, nj, track, h_true)
 
 
 @functools.partial(jax.jit, static_argnames=("nj",))
