@@ -205,3 +205,46 @@ class TestBorderDiagonalSeed:
                         cfg, s0, s1, P, InitType(ri), InitType(ci),
                         backend="scan")
                     np.testing.assert_array_equal(got.last_h, ref.last_h)
+
+
+def test_strip_scan_dyn_matches_static():
+    """The dynamic-shape kernel (traced nj/h_true) must agree with the
+    static scan twin for arbitrary widths/heights under every init."""
+    import numpy as np
+
+    from masa_tpu.ops import oracle
+    from masa_tpu.ops import wavefront as wf
+    from masa_tpu.types import InitType, Recurrence, ScoreParams
+
+    P = ScoreParams()
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    cfg = wf.WavefrontConfig(alpha=4, rs=1, chunk=512,
+                             recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+                             track_best=False, store_lastcol=False)
+    from masa_tpu.models.scoring import border_cells
+
+    for seed, (ri, ci) in enumerate([(1, 1), (2, 1), (1, 2)]):
+        rng = np.random.default_rng(seed)
+        m = int(rng.integers(2, cfg.rows))
+        n = int(rng.integers(2, 300))
+        s0 = rng.choice(bases, m).astype(np.uint8)
+        s1 = rng.choice(bases, n).astype(np.uint8)
+        ref = oracle.dp_rows(s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+                             InitType(ri), InitType(ci))
+        T = cfg.steps(512)
+        b = np.full(T, wf.B_SENTINEL, np.int32)
+        b[:n] = s1
+        rh, _ = border_cells(n + 1, InitType(ri), P)
+        bus_h = np.full(T, -wf.INF, np.int32)
+        bus_f = np.full(T, -wf.INF, np.int32)
+        bus_h[:n] = rh[1:]
+        a = wf.pack_strip_rows(cfg, s0.astype(np.int32))
+        ch, ce = border_cells(m, InitType(ci), P, start=1)
+        ih, ie = wf.pack_border_cols(cfg, ch, ce)
+        ph, pf = wf.strip_scan_dyn(cfg, a, b, bus_h, bus_f, ih, ie,
+                                   int(rh[0]), 0, m, T=T)
+        lane = (m - 1) // cfg.alpha
+        got_h = np.asarray(ph)[lane : lane + n]
+        got_f = np.asarray(pf)[lane : lane + n]
+        np.testing.assert_array_equal(got_h, ref.last_h[1:])
+        np.testing.assert_array_equal(got_f, ref.last_f[1:])
