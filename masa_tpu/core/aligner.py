@@ -22,14 +22,7 @@ from masa_tpu.core.capabilities import AlignerCapabilities
 from masa_tpu.models.scoring import match_column
 from masa_tpu.ops import oracle, strips
 from masa_tpu.ops import wavefront as wf
-from masa_tpu.types import (
-    INF,
-    InitType,
-    MatchResult,
-    Partition,
-    Recurrence,
-    ScoreParams,
-)
+from masa_tpu.types import MatchResult, Partition
 
 
 @dataclasses.dataclass

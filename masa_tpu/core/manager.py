@@ -12,7 +12,7 @@ import numpy as np
 
 from masa_tpu.core.best_score import BestScoreList
 from masa_tpu.models.scoring import border_cells, match_column
-from masa_tpu.stages.core import SpecialRowStore, border_gap_values
+from masa_tpu.stages.core import SpecialRowStore
 from masa_tpu.types import (
     INF,
     Crosspoint,

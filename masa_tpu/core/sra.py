@@ -18,7 +18,6 @@ looks complete.  Legacy "MSR1" (uncompressed int32 pairs) still reads.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import struct

@@ -10,10 +10,8 @@ pairs — the wire unit the multi-process column streaming uses.
 
 from __future__ import annotations
 
-import io
 import os
 import socket
-import struct
 import threading
 from queue import Queue
 

@@ -15,12 +15,11 @@ reference's block-pipelined multi-GPU wavefront.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from masa_tpu.ops import wavefront as wf

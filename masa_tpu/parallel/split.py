@@ -17,7 +17,6 @@ import dataclasses
 import numpy as np
 
 from masa_tpu.io import cells as cio
-from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import strips
 from masa_tpu.ops import wavefront as wf
 from masa_tpu.types import INF, InitType, Recurrence, ScoreParams

@@ -6,8 +6,6 @@ libmasa.cpp:644-655.
 
 from __future__ import annotations
 
-import dataclasses
-import sys
 import time
 
 import numpy as np
@@ -20,7 +18,6 @@ from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import myers_miller as mm
 from masa_tpu.stages import core, pipeline, stage6 as st6
 from masa_tpu.types import (
-    AlignmentStart,
     Crosspoint,
     CrosspointType,
     InitType,
