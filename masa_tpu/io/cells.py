@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import socket
+import time
 import threading
 from queue import Queue
 
@@ -262,7 +263,8 @@ class BufferedCellsReader(CellsReader):
     producer/consumer machinery)."""
 
     def __init__(self, inner: CellsReader, chunk: int = 4096,
-                 depth: int = 8, total: int | None = None):
+                 depth: int = 8, total: int | None = None,
+                 log_file: str | None = None):
         self.inner = inner
         self.chunk = chunk
         self.queue: Queue = Queue(maxsize=depth)
@@ -270,6 +272,12 @@ class BufferedCellsReader(CellsReader):
         self.buf_h = np.empty(0, np.int32)
         self.buf_g = np.empty(0, np.int32)
         self.err = None
+        # throughput statistics (Buffer2 stats + BufferLogger,
+        # io/Buffer2.hpp:55-123)
+        self.cells_in = 0
+        self.blocked_s = 0.0
+        self._t0 = time.time()
+        self._log_file = log_file
         self.thread = threading.Thread(target=self._pump, daemon=True)
         self.thread.start()
 
@@ -287,17 +295,31 @@ class BufferedCellsReader(CellsReader):
 
     def read(self, n: int):
         while len(self.buf_h) < n:
+            t0 = time.time()
             item = self.queue.get()
+            self.blocked_s += time.time() - t0
             if item is None:
                 if self.err:
                     raise self.err
                 raise EOFError("buffered cells stream exhausted")
+            self.cells_in += len(item[0])
             self.buf_h = np.concatenate([self.buf_h, item[0]])
             self.buf_g = np.concatenate([self.buf_g, item[1]])
         out = self.buf_h[:n], self.buf_g[:n]
         self.buf_h = self.buf_h[n:]
         self.buf_g = self.buf_g[n:]
         return out
+
+    def stats(self) -> dict:
+        """Throughput counters (cells received, consumer-blocked seconds,
+        mean cells/s) — the Buffer2 statistics surface."""
+        dt = max(time.time() - self._t0, 1e-9)
+        st = {"cells": self.cells_in, "blocked_s": round(self.blocked_s, 3),
+              "cells_per_s": round(self.cells_in / dt, 1)}
+        if self._log_file:
+            with open(self._log_file, "a") as f:
+                f.write(repr(st) + "\n")
+        return st
 
 
 class BufferedCellsWriter(CellsWriter):
@@ -307,6 +329,8 @@ class BufferedCellsWriter(CellsWriter):
         self.inner = inner
         self.queue: Queue = Queue(maxsize=depth)
         self.err = None
+        self.cells_out = 0
+        self.blocked_s = 0.0
         self.thread = threading.Thread(target=self._pump, daemon=True)
         self.thread.start()
 
@@ -324,8 +348,15 @@ class BufferedCellsWriter(CellsWriter):
     def write(self, h, g):
         if self.err:
             raise self.err
+        t0 = time.time()
         self.queue.put((np.asarray(h, np.int32).copy(),
                         np.asarray(g, np.int32).copy()))
+        self.blocked_s += time.time() - t0
+        self.cells_out += len(h)
+
+    def stats(self) -> dict:
+        return {"cells": self.cells_out,
+                "blocked_s": round(self.blocked_s, 3)}
 
     def close(self):
         self.queue.put(None)

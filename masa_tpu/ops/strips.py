@@ -234,9 +234,12 @@ def run_partition(
                 if special_every and i0 % special_every == 0 and i0 < m:
                     bh = pull(bus_h)
                     bf = pull(bus_f)
-                    specials[i0] = (bh, bf)
                     if on_special_row:
+                        # streamed to the caller's store; keeping a copy
+                        # here would hold O(m*n/interval) host RAM
                         on_special_row(i0, bh, bf)
+                    else:
+                        specials[i0] = (bh, bf)
                 continue
         a_lanes = jnp.asarray(wf.pack_strip_rows(cfg, seq0[i0 : i0 + hs]))
         if first_col_reader is not None:
@@ -364,9 +367,10 @@ def run_partition(
         if is_special:
             bh = pull(bus_h)
             bf = pull(bus_f)
-            specials[i0] = (bh, bf)
             if on_special_row:
                 on_special_row(i0, bh, bf)
+            else:
+                specials[i0] = (bh, bf)
         if stop_check and out is not None and stop_check(out, i0, hs, off):
             break
 

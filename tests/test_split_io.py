@@ -229,3 +229,27 @@ class TestOversizeSplitting:
         ref = oracle.dp_rows(s0, s1, P)
         assert best == ref.best
         assert aln.raw_score == ref.best
+
+
+class TestBufferStats:
+    def test_throughput_counters(self, tmp_path):
+        """Buffered streams expose Buffer2-style throughput stats
+        (io/Buffer2.hpp:55-123, BufferLogger)."""
+        import numpy as np
+
+        from masa_tpu.io import cells as cio
+
+        p = str(tmp_path / "c.bin")
+        w = cio.BufferedCellsWriter(cio.FileCellsWriter(p))
+        h = np.arange(1000, dtype=np.int32)
+        w.write(h, h)
+        w.close()
+        assert w.stats()["cells"] == 1000
+        logf = str(tmp_path / "buf.log")
+        r = cio.BufferedCellsReader(cio.FileCellsReader(p), chunk=256,
+                                    total=1000, log_file=logf)
+        got_h, got_g = r.read(1000)
+        np.testing.assert_array_equal(got_h, h)
+        st = r.stats()
+        assert st["cells"] == 1000 and st["cells_per_s"] > 0
+        assert "cells" in open(logf).read()
