@@ -31,7 +31,7 @@ def main():
     from masa_tpu.types import InitType, ScoreParams
 
     if on_tpu:
-        cfg = WavefrontConfig(alpha=16, rs=64, chunk=16384,
+        cfg = WavefrontConfig(alpha=32, rs=32, chunk=8192,
                               track_best=True, store_lastcol=False)
         m = n = 1 << 20
         backend = "pallas"

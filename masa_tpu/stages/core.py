@@ -252,7 +252,7 @@ def default_config() -> wf.WavefrontConfig:
         import jax
 
         if jax.default_backend() == "tpu":
-            _DEFAULT_CFG = wf.WavefrontConfig(alpha=16, rs=64, chunk=16384)
+            _DEFAULT_CFG = wf.WavefrontConfig(alpha=32, rs=32, chunk=8192)
         else:
             _DEFAULT_CFG = wf.WavefrontConfig(alpha=4, rs=1, chunk=512)
     return _DEFAULT_CFG
@@ -264,7 +264,7 @@ _TPU_LADDER = (
     # no rs=1 on TPU: Mosaic rejects the degenerate (1,128) shift shapes
     wf.WavefrontConfig(alpha=4, rs=8, chunk=4096),      # R = 4096
     wf.WavefrontConfig(alpha=8, rs=32, chunk=8192),     # R = 32768
-    wf.WavefrontConfig(alpha=16, rs=64, chunk=16384),   # R = 131072
+    wf.WavefrontConfig(alpha=32, rs=32, chunk=8192),    # R = 131072
 )
 _CPU_LADDER = (wf.WavefrontConfig(alpha=4, rs=1, chunk=512),)
 
