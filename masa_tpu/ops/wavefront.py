@@ -66,6 +66,10 @@ class WavefrontConfig:
     gap_open: int = 3
     gap_ext: int = 2
     track_best: bool = True
+    # track_pos=False: per-slot MAX only (1 op/cell instead of 3); the
+    # best's position is recovered by re-running the winning strip with
+    # full tracking (two-phase scheme, see strips.run_partition)
+    track_pos: bool = True
     store_lastcol: bool = False
     interpret: bool = False   # Pallas interpreter mode (CPU tests)
     unroll: int = 8           # inner wavefront loop unroll factor
@@ -164,22 +168,36 @@ def _make_step(cfg: WavefrontConfig, nj: int, h_true: int, fast: bool):
                 es.append(e_k)
                 fs.append(f_k)
                 if cfg.track_best:
-                    if fast:
-                        upd = h_k > best_v[k]
+                    if not cfg.track_pos:
+                        # max-only: 1 op in fast steps; position comes
+                        # from a phase-2 rerun of the winning strip
+                        if fast:
+                            new_bv[k] = jnp.maximum(best_v[k], h_k)
+                        else:
+                            row_ok = valid_j if full else jnp.logical_and(
+                                valid_j, (li * a + k) < h_true
+                            )
+                            new_bv[k] = jnp.where(
+                                jnp.logical_and(h_k > best_v[k], row_ok),
+                                h_k, best_v[k])
                     else:
-                        row_ok = valid_j if full else jnp.logical_and(
-                            valid_j, (li * a + k) < h_true
-                        )
-                        upd = jnp.logical_and(h_k > best_v[k], row_ok)
-                    new_bv[k] = jnp.where(upd, h_k, best_v[k])
-                    new_bt[k] = jnp.where(upd, t, best_t[k])
+                        if fast:
+                            upd = h_k > best_v[k]
+                        else:
+                            row_ok = valid_j if full else jnp.logical_and(
+                                valid_j, (li * a + k) < h_true
+                            )
+                            upd = jnp.logical_and(h_k > best_v[k], row_ok)
+                        new_bv[k] = jnp.where(upd, h_k, best_v[k])
+                        new_bt[k] = jnp.where(upd, t, best_t[k])
                 if cfg.store_lastcol and not fast:
                     new_lh[k] = jnp.where(at_lastcol, h_k, lc_h[k])
                     new_le[k] = jnp.where(at_lastcol, e_k, lc_e[k])
 
+            nbt = new_bt if (cfg.track_best and cfg.track_pos) else ()
             st2 = (tuple(hs), tuple(es), hs[a - 1], r3h1, fs[a - 1], rb,
                    jnp.asarray(bus_h_t, jnp.int32).reshape(1, 1),
-                   tuple(new_bv), tuple(new_bt),
+                   tuple(new_bv), tuple(nbt),
                    tuple(new_lh), tuple(new_le))
             return st2, hs[k_flush], fs[k_flush]
 
@@ -201,6 +219,7 @@ def _init_state(cfg: WavefrontConfig, corner, init_h, init_e):
     t0 = jnp.zeros((cfg.rs, 128), jnp.int32)
     a = cfg.alpha
     nb = a if cfg.track_best else 0
+    nbt = a if (cfg.track_best and cfg.track_pos) else 0
     nl = a if cfg.store_lastcol else 0
     # r3h1 seeds the bottom-row chain: at t=1, lane 1's diagonal reads
     # r3h2 (= this initial r3h1), which must hold lane 0's bottom-row
@@ -210,7 +229,7 @@ def _init_state(cfg: WavefrontConfig, corner, init_h, init_e):
         tuple(init_e[k] for k in range(a)),
         init_h[a - 1], z, z, zz,
         jnp.asarray(corner, jnp.int32).reshape(1, 1),
-        (z,) * nb, (t0,) * nb, (z,) * nl, (z,) * nl,
+        (z,) * nb, (t0,) * nbt, (z,) * nl, (z,) * nl,
     )
 
 
@@ -221,7 +240,8 @@ def _resolve_outputs(cfg, h_true, bus_h, bus_f, st):
     best_v, best_t, lc_h, lc_e = st[7], st[8], st[9], st[10]
     if cfg.track_best:
         out["best_v"] = jnp.stack([v.reshape(lanes) for v in best_v])
-        out["best_t"] = jnp.stack([v.reshape(lanes) for v in best_t])
+        if cfg.track_pos:
+            out["best_t"] = jnp.stack([v.reshape(lanes) for v in best_t])
     if cfg.store_lastcol:
         lh = jnp.stack([v.reshape(lanes) for v in lc_h])  # (A, L)
         le = jnp.stack([v.reshape(lanes) for v in lc_e])
@@ -258,6 +278,18 @@ def merge_best_device(carry, best_v, best_t, i0, off):
     return (jnp.where(upd, smax, s),
             jnp.where(upd, ni, bi),
             jnp.where(upd, nj_, bj))
+
+
+@jax.jit
+def merge_max_device(carry, best_v, strip_id):
+    """Phase-1 reduction of max-only captures: carry = (smax, strip_id of
+    the EARLIEST strip achieving it) — earliest strip = smallest i, the
+    engine-wide tie-break."""
+    s, sid = carry
+    m = best_v.max()
+    upd = m > s
+    return (jnp.where(upd, m, s),
+            jnp.where(upd, jnp.int32(strip_id), sid))
 
 
 def resolve_best(best_v, best_t):
@@ -446,13 +478,14 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     T = cfg.steps(nj)
     a = cfg.alpha
     nb = a if cfg.track_best else 0
+    nbt = a if (cfg.track_best and cfg.track_pos) else 0
     nl = a if cfg.store_lastcol else 0
     lane, k_fl, fr, fc = _flush_pos(cfg, h_true)
     make_fast = _make_step(cfg, nj, h_true, fast=True)
     make_edge = _make_step(cfg, nj, h_true, fast=False)
 
     vec = (cfg.rs, 128)
-    n_state = 2 * a + 5 + 2 * nb + 2 * nl
+    n_state = 2 * a + 5 + nb + nbt + 2 * nl
 
     def kernel(corner_ref, a_ref, ih_ref, ie_ref, b_ref, bh_ref, bf_ref,
                bho_ref, bfo_ref, bv_ref, bt_ref, lch_ref, lce_ref,
@@ -471,7 +504,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
             hh, ee = take(a), take(a)
             r3h1, r3h2, r3f, rb = take(4)
             bhp = next(it)[0:1, 0:1]
-            bv, bt = take(nb), take(nb)
+            bv, bt = take(nb), take(nbt)
             lh, le = take(nl), take(nl)
             return (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le)
 
@@ -555,6 +588,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
             (hh, ee, r3h1, r3h2, r3f, rb, bhp, bv, bt, lh, le) = st
             for k in range(nb):
                 bv_ref[k] = bv[k]
+            for k in range(nbt):
                 bt_ref[k] = bt[k]
             for k in range(nl):
                 lch_ref[k] = lh[k]
@@ -568,6 +602,9 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     best_spec = pl.BlockSpec((max(nb, 1), cfg.rs, 128),
                              lambda g, c: (0, 0, 0),
                              memory_space=pltpu.VMEM)
+    bt_spec = pl.BlockSpec((max(nbt, 1), cfg.rs, 128),
+                           lambda g, c: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
     lc_spec = pl.BlockSpec((max(nl, 1), cfg.rs, 128),
                            lambda g, c: (0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -576,7 +613,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         grid=(ng,),
         in_specs=[full_vec, full_vec, full_vec,
                   chunk2d_spec, chunk2d_spec, chunk2d_spec],
-        out_specs=[chunk2d_spec, chunk2d_spec, best_spec, best_spec,
+        out_specs=[chunk2d_spec, chunk2d_spec, best_spec, bt_spec,
                    lc_spec, lc_spec],
         scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
     )
@@ -584,7 +621,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         jax.ShapeDtypeStruct((ng * C // 128, 128), jnp.int32),
         jax.ShapeDtypeStruct((ng * C // 128, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nb, 1), cfg.rs, 128), jnp.int32),
-        jax.ShapeDtypeStruct((max(nb, 1), cfg.rs, 128), jnp.int32),
+        jax.ShapeDtypeStruct((max(nbt, 1), cfg.rs, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
     ]
@@ -602,7 +639,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
 
     st_like = (None,) * 7 + (
         tuple(bv[k] for k in range(nb)),
-        tuple(bt[k] for k in range(nb)),
+        tuple(bt[k] for k in range(nbt)),
         tuple(lch[k] for k in range(nl)),
         tuple(lce[k] for k in range(nl)),
     )
@@ -625,6 +662,24 @@ def _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
         best_carry = merge_best_device(best_carry, out["best_v"],
                                        out["best_t"], i0, 0)
     return bh2, bf2, best_carry
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nj"))
+def strip_step_max(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h,
+                   bus_f, max_carry, strip_id, nj: int):
+    """Phase-1 step: max-only tracking, NO donation (the input buses are
+    the phase-2 replay checkpoints).  cfg must have track_pos=False."""
+    out = strip_pallas(cfg, a, b, bus_h, bus_f, ih, ie, corner,
+                       nj=nj, h_true=cfg.rows)
+    lane = (cfg.rows - 1) // cfg.alpha
+    plen = padded_len(cfg, nj)
+    pad = jnp.full(plen - nj, NEG, jnp.int32)
+    bh2 = jnp.concatenate(
+        [jax.lax.dynamic_slice(out["bus_h"], (lane,), (nj,)), pad])
+    bf2 = jnp.concatenate(
+        [jax.lax.dynamic_slice(out["bus_f"], (lane,), (nj,)), pad])
+    max_carry = merge_max_device(max_carry, out["best_v"], strip_id)
+    return bh2, bf2, max_carry
 
 
 @functools.partial(jax.jit,

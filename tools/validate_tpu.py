@@ -57,7 +57,21 @@ def main():
     print("grouped-path TPU validation:", "PASS" if ok else "FAIL",
           f"(best={res.best} at ({res.best_i},{res.best_j}), "
           f"{len(specials)} special rows)")
-    sys.exit(0 if ok else 1)
+
+    # two-phase best tracking (>= 16 strips): exact position via the
+    # phase-2 checkpoint replay
+    m2 = 20 * R
+    s0b = rng.choice(bases, m2).astype(np.uint8)
+    s1b = rng.choice(bases, 4096).astype(np.uint8)
+    s1b[1000:1400] = s0b[17 * R + 50 : 17 * R + 450]
+    res2 = strips.run_partition(cfg, s0b, s1b, params, backend="pallas")
+    ref2 = oracle.dp_rows(s0b, s1b, params)
+    ok2 = (res2.best, res2.best_i, res2.best_j) == (
+        ref2.best, ref2.best_i, ref2.best_j)
+    print("two-phase tracking validation:", "PASS" if ok2 else "FAIL",
+          f"(best={res2.best} at ({res2.best_i},{res2.best_j}) vs oracle "
+          f"{ref2.best} at ({ref2.best_i},{ref2.best_j}))")
+    sys.exit(0 if (ok and ok2) else 1)
 
 
 if __name__ == "__main__":
