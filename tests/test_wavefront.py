@@ -122,6 +122,41 @@ class TestPallasInterpret:
                         backend="pallas")
 
     @pytest.mark.slow
+    def test_max_only_tracking_parity(self, dna, homolog):
+        """track_pos=False (two-phase phase 1): per-slot maxima must
+        reduce to the oracle best score; the kernel's state packing
+        without the best_t slots must stay consistent."""
+        import numpy as np
+
+        from masa_tpu.ops import oracle, wavefront as wf
+        from masa_tpu.types import ScoreParams
+
+        P = ScoreParams()
+        s0 = dna(600, seed=45)
+        s1 = homolog(s0, seed=46)
+        cfg = WavefrontConfig(alpha=4, rs=1, chunk=256, track_best=True,
+                              track_pos=False, store_lastcol=False,
+                              interpret=True)
+        from masa_tpu.models.scoring import border_cells
+
+        n = len(s1)
+        plen = wf.padded_len(cfg, n)
+        b = np.full(plen, wf.B_SENTINEL, np.int32)
+        b[:n] = s1
+        bus_h = np.zeros(plen, np.int32)
+        bus_f = np.full(plen, -wf.INF, np.int32)
+        rows = min(cfg.rows, len(s0))
+        a = wf.pack_strip_rows(cfg, s0[:rows].astype(np.int32))
+        ih, ie = wf.pack_border_cols(
+            cfg, np.zeros(rows, np.int32),
+            np.full(rows, -wf.INF, np.int32))
+        out = wf.strip_pallas(cfg, a, b, bus_h, bus_f, ih, ie, 0,
+                              nj=n, h_true=rows)
+        ref = oracle.dp_rows(s0[:rows], s1, P)
+        assert int(np.asarray(out["best_v"]).max()) == ref.best
+        assert "best_t" not in out
+
+    @pytest.mark.slow
     def test_nw_parity(self, dna, homolog):
         s0 = dna(530, seed=43)
         s1 = homolog(s0, seed=44)
