@@ -106,7 +106,8 @@ class _Half:
     col_init: int
 
 
-_PALLAS_MIN_H = 16384  # above this, per-pair Pallas beats the batched scan
+_PALLAS_MIN_H = 16384   # per-pair Pallas beats the batched scan above this
+_PALLAS_MAX_B = 48      # ... until per-pair dispatch overhead dominates
 
 
 def _run_halves_pallas(halves, params):
@@ -175,7 +176,8 @@ def _run_halves(halves: list[_Half], params: ScoreParams
     h_max = max(len(x.sub0) for x in halves)
     import jax as _jax
 
-    if (_jax.default_backend() == "tpu" and h_max >= _PALLAS_MIN_H):
+    if (_jax.default_backend() == "tpu" and h_max >= _PALLAS_MIN_H
+            and B <= _PALLAS_MAX_B):
         return _run_halves_pallas(halves, params)
     cfg = _mm_cfg(h_max)
     R = cfg.rows
