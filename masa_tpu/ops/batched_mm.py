@@ -106,8 +106,11 @@ class _Half:
     col_init: int
 
 
-_PALLAS_MIN_H = 16384   # per-pair Pallas beats the batched scan above this
-_PALLAS_MAX_B = 48      # ... until per-pair dispatch overhead dominates
+# Measured constants of this environment (see CLAUDE.md): the batched
+# XLA scan costs ~22 us per (row-step x batch element); a per-pair Pallas
+# call costs ~0.35 s of dispatch+compute.  Choose per level by cost.
+_SCAN_S_PER_ROWSTEP = 22e-6
+_PALLAS_S_PER_CALL = 0.35
 
 
 def _run_halves_pallas(halves, params):
@@ -167,6 +170,12 @@ def _run_halves_pallas(halves, params):
     return out
 
 
+# One device call must stay well under the remote service's execution
+# watchdog (a single vmapped scan of B x T row-steps that runs for
+# minutes gets the worker killed: "TPU worker process crashed").
+_MAX_ROWSTEPS_PER_CALL = 3_000_000
+
+
 def _run_halves(halves: list[_Half], params: ScoreParams
                 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Run a batch of half-passes (arbitrary heights/widths) in
@@ -176,9 +185,24 @@ def _run_halves(halves: list[_Half], params: ScoreParams
     h_max = max(len(x.sub0) for x in halves)
     import jax as _jax
 
-    if (_jax.default_backend() == "tpu" and h_max >= _PALLAS_MIN_H
-            and B <= _PALLAS_MAX_B):
-        return _run_halves_pallas(halves, params)
+    cfg0 = _mm_cfg(h_max)
+    w_max0 = max(len(x.sub1) for x in halves)
+    njq0 = max(128, 1 << (max(w_max0, 1) - 1).bit_length())
+    chains = -(-h_max // cfg0.rows)
+    per_elem = cfg0.steps(njq0) * chains
+    if _jax.default_backend() == "tpu":
+        est_batched = B * per_elem * _SCAN_S_PER_ROWSTEP
+        est_pallas = B * max(1, -(-h_max // 131072)) * _PALLAS_S_PER_CALL
+        if est_pallas < est_batched:
+            return _run_halves_pallas(halves, params)
+
+    # bound the duration of a single vmapped call
+    b_cap = max(1, _MAX_ROWSTEPS_PER_CALL // max(per_elem, 1))
+    if B > b_cap:
+        out = []
+        for o in range(0, B, b_cap):
+            out.extend(_run_halves(halves[o : o + b_cap], params))
+        return out
     cfg = _mm_cfg(h_max)
     R = cfg.rows
     w_max = max(len(x.sub1) for x in halves)
