@@ -707,15 +707,20 @@ def strip_step(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h, bus_f,
 
 @functools.partial(jax.jit, static_argnames=("nj",))
 def delta_pack_device(v, nj: int):
-    """Delta-encode the first nj elements to int8 on DEVICE (escape -128
-    for |delta| > 127).  A DP row's deltas are bounded by the scoring
-    params (see io/rowcodec.py), so this cuts the device->host pull 4x —
-    the pull, not the compute, dominates special-row flushes (PCIe on
-    real hardware; ~0.4 s/MB over a tunneled chip)."""
+    """Delta-encode the first nj elements to NIBBLES on DEVICE (two
+    deltas per byte; -8 escapes out-of-range).  A DP row's deltas lie in
+    [-(open+ext), match] (see io/rowcodec.py), so 4 bits almost always
+    suffice — an 8x smaller pull (the pull, not the compute, dominates
+    special-row flushes: PCIe on real hardware, ~0.4 s/MB over a
+    tunneled chip).  Escaped positions are re-fetched at full width by
+    the host."""
     x = v[:nj].astype(jnp.int32)
     dh = jnp.concatenate([x[:1], x[1:] - x[:-1]])
-    small = jnp.abs(dh) <= 127
-    return jnp.where(small, dh, -128).astype(jnp.int8)
+    small = jnp.logical_and(dh >= -7, dh <= 7)
+    nib = jnp.where(small, dh, -8) & 0xF
+    if nj % 2:
+        nib = jnp.concatenate([nib, jnp.zeros(1, jnp.int32)])
+    return (nib[0::2] | (nib[1::2] << 4)).astype(jnp.int8)
 
 
 @jax.jit
@@ -731,11 +736,19 @@ def chunk_max_device(bus, ng: int, chunk: int):
 
 
 def pull_row_delta(bus, nj: int) -> np.ndarray:
-    """Host side of delta_pack_device: pull nj bytes, reconstruct int64
-    exactly (escaped positions are re-fetched at full width)."""
-    b = np.asarray(delta_pack_device(bus, nj))
-    out = np.cumsum(b.astype(np.int64))
-    mark = np.nonzero(b == -128)[0]
+    """Host side of delta_pack_device: pull ceil(nj/2) bytes, reconstruct
+    int64 exactly (escaped positions are re-fetched at full width)."""
+    u = np.asarray(delta_pack_device(bus, nj)).view(np.uint8)
+    lo = (u & 0xF).astype(np.int64)
+    hi = (u >> 4).astype(np.int64)
+    lo[lo > 7] -= 16
+    hi[hi > 7] -= 16
+    dh = np.empty(2 * len(u), np.int64)
+    dh[0::2] = lo
+    dh[1::2] = hi
+    b = dh[:nj]
+    out = np.cumsum(b)
+    mark = np.nonzero(b == -8)[0]
     if len(mark):
         exact = np.asarray(
             gather_device(bus, jnp.asarray(mark, jnp.int32))
