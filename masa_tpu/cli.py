@@ -189,12 +189,15 @@ def main(argv=None) -> int:
     split_weights = [float(x) for x in str(args.split).split(",")]
     if len(split_weights) > 1:
         from masa_tpu.parallel.split import (
-            pipelined_traceback, run_part_stage1, split_points,
+            auto_urls, run_part_stage1, split_points,
         )
+        from masa_tpu.stages.core import default_backend
 
+        backend = default_backend() if args.backend == "auto" \
+            else args.backend
+        if backend in ("auto", "kernel", "numpy"):
+            backend = default_backend()
         points = split_points(len(seq1), split_weights)
-        from masa_tpu.parallel.split import auto_urls
-
         urls = auto_urls(jcfg.work_dir, len(split_weights))
         parts = []
         for k in range(len(split_weights)):
@@ -202,6 +205,7 @@ def main(argv=None) -> int:
                 seq0, seq1, k, points, params,
                 load_url=urls[k - 1] if k > 0 else None,
                 flush_url=urls[k] if k < len(split_weights) - 1 else None,
+                backend=backend,
                 buffered=False,
             ))
         b = max(p.best for p in parts)
@@ -265,8 +269,6 @@ def _self_test() -> int:
     "Not Implemented" — here it works): align a random homologous pair
     end-to-end in memory and cross-check every layer against the oracle.
     """
-    import tempfile
-
     import numpy as np
 
     from masa_tpu.ops import oracle

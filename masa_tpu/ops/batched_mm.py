@@ -19,8 +19,12 @@ module re-designs the stage TPU-first:
   * Total work is ~4x the input area spread over log2(h/mps) levels —
     seconds of TPU time where a scalar CPU path needs minutes.
 
-Crosspoints are bit-identical to the Python ORIGINAL_MM splitter (same
-h//2 split rows, same full-width descending-j match scan).
+The split row is ANY interior row; snapping the top half to an
+8-per-octave bucket keeps the level hierarchy on few distinct heights —
+every distinct (config, width, height) of the per-pair Pallas path is a
+separate remote Mosaic compile.  (Crosspoints therefore may differ
+legally from the Python h//2 splitter; every result satisfies the
+stage-5 score-invariant contract.)
 """
 
 from __future__ import annotations
@@ -93,6 +97,16 @@ def _batched_strip(cfg: wf.WavefrontConfig, T: int):
                 jnp.where(keep, lf, bus_f))
 
     return jax.jit(jax.vmap(one))
+
+
+def _split_height(h: int) -> int:
+    """Top-half height: ~h/2 rounded DOWN to an 8-per-octave bucket (in
+    [1, h-1])."""
+    t = h // 2
+    if t <= 128:
+        return max(t, 1)
+    q = 1 << max(t.bit_length() - 4, 0)
+    return (t // q) * q
 
 
 @dataclasses.dataclass
@@ -203,11 +217,10 @@ def _run_halves(halves: list[_Half], params: ScoreParams
         for o in range(0, B, b_cap):
             out.extend(_run_halves(halves[o : o + b_cap], params))
         return out
-    cfg = _mm_cfg(h_max)
+    cfg = cfg0
     R = cfg.rows
-    w_max = max(len(x.sub1) for x in halves)
     # pow2 width bucket: the scan length is the only shape compile key
-    njq = max(128, 1 << (max(w_max, 1) - 1).bit_length())
+    njq = njq0
     T = cfg.steps(njq)
 
     b_all = np.full((B, T), wf.B_SENTINEL, np.int32)
@@ -291,7 +304,7 @@ def reduce_partitions_batched(
         rev_halves = []
         for c0, c1 in pending:
             h = c1.i - c0.i
-            rm = c0.i + h // 2
+            rm = c0.i + _split_height(h)
             meta.append((c0, c1, rm))
             ri, ci = score.init_types_for(c0.type)
             fwd_halves.append(_Half(

@@ -207,11 +207,11 @@ def run_partition(
                 nb = ((i0 // special_every) + 1) * special_every
                 g = min(g, (nb - i0) // R)
             if g >= 1:
-                if cfg.track_best and dev_best is None:
+                if cfg.track_best and not two_phase and dev_best is None:
                     dev_best = (jnp.int32(best), jnp.int32(best_i),
                                 jnp.int32(best_j))
-                carry = dev_best if cfg.track_best else (
-                    jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                carry = dev_best if (cfg.track_best and not two_phase) \
+                    else (jnp.int32(0), jnp.int32(0), jnp.int32(0))
                 # One fused dispatch per strip (kernel + realign + merge);
                 # loop-invariant borders hoisted.  (Both a lax.scan over
                 # strips and on-device strip indexing measured SLOWER than

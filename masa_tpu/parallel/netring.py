@@ -153,7 +153,15 @@ class NetRing:
               wait: bool = True) -> dict | None:
         with socket.create_connection(addr, timeout=5.0) as s:
             _send_msg(s, obj)
-            return _recv_msg(s) if wait else None
+            if not wait:
+                return None
+            reply = _recv_msg(s)
+            if reply is None:
+                raise ConnectionError(
+                    f"peer {addr} closed the connection before replying "
+                    f"to {obj.get('cmd')!r}"
+                )
+            return reply
 
     def _next_peer(self) -> tuple[str, int] | None:
         with self._lock:

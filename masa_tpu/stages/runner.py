@@ -155,17 +155,19 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     timer.create_event("compute")
     ticker = RecurrentTimer(2.0, _tick)
     ticker.start()
-    res = core.forward_pass(
-        seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
-        first_row=first_row, first_col=first_col,
-        special_every=ivs[0], store=store,
-        backend=job.cfg.backend, cfg=kernel_cfg,
-        prune=job.cfg.block_pruning,
-        pad_rows=rec == Recurrence.SMITH_WATERMAN,
-        best_sink=sink,
-        blocks_sink=blocks_sink,
-    )
-    ticker.stop()
+    try:
+        res = core.forward_pass(
+            seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
+            first_row=first_row, first_col=first_col,
+            special_every=ivs[0], store=store,
+            backend=job.cfg.backend, cfg=kernel_cfg,
+            prune=job.cfg.block_pruning,
+            pad_rows=rec == Recurrence.SMITH_WATERMAN,
+            best_sink=sink,
+            blocks_sink=blocks_sink,
+        )
+    finally:
+        ticker.stop()
     timer.event_record("compute")
     if blocks is not None:
         blocks.save()
@@ -267,9 +269,10 @@ def stage3(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
 
     from masa_tpu.native import bindings as _nb
 
-    if _jax.default_backend() == "tpu":
+    if (_jax.default_backend() == "tpu"
+            and job.cfg.stage4_strategy == "OPTIMIZED"):
         max_cells = 1 << 62
-    elif _nb.available():
+    elif _nb.available() and job.cfg.stage4_strategy == "OPTIMIZED":
         max_cells = 1 << 30
     else:
         max_cells = None

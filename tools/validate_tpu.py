@@ -71,7 +71,21 @@ def main():
     print("two-phase tracking validation:", "PASS" if ok2 else "FAIL",
           f"(best={res2.best} at ({res2.best_i},{res2.best_j}) vs oracle "
           f"{ref2.best} at ({ref2.best_i},{ref2.best_j}))")
-    sys.exit(0 if (ok and ok2) else 1)
+
+    # tail-strip case: m NOT a multiple of R, best planted in the
+    # partial tail strip (two-phase must not lose it)
+    m3 = 20 * R + 777
+    s0c = rng.choice(bases, m3).astype(np.uint8)
+    s1c = rng.choice(bases, 4096).astype(np.uint8)
+    s1c[2000:2300] = s0c[20 * R + 300 : 20 * R + 600]
+    res3 = strips.run_partition(cfg, s0c, s1c, params, backend="pallas")
+    ref3 = oracle.dp_rows(s0c, s1c, params)
+    ok3 = (res3.best, res3.best_i, res3.best_j) == (
+        ref3.best, ref3.best_i, ref3.best_j)
+    print("tail-strip two-phase validation:", "PASS" if ok3 else "FAIL",
+          f"(best={res3.best} at ({res3.best_i},{res3.best_j}) vs oracle "
+          f"{ref3.best} at ({ref3.best_i},{ref3.best_j}))")
+    sys.exit(0 if (ok and ok2 and ok3) else 1)
 
 
 if __name__ == "__main__":
