@@ -125,30 +125,56 @@ class _Half:
 # call costs ~0.35 s of dispatch+compute.  Choose per level by cost.
 _SCAN_S_PER_ROWSTEP = 22e-6
 _PALLAS_S_PER_CALL = 0.35
+# HBM bound for one batched-kernel call: B * plen * 4B * ~6 arrays
+_PALLAS_MAX_BYTES = 1 << 30
 
 
-def _run_halves_pallas(halves, params):
-    """Big halves, one fused Pallas dispatch per (pair, chained strip):
-    the Mosaic kernel is ~8x faster per cell than the XLA scan, and at
-    big heights the pair count is small, so per-pair dispatch overhead
-    is no longer the bottleneck.  Static shapes (pow2 width buckets,
-    ladder heights) persist in the compile cache."""
-    import jax.numpy as jnp
-
+def _pallas_mm_cfg(h: int):
     from masa_tpu.stages.core import _TPU_LADDER
 
+    base = _TPU_LADDER[-1]
+    for c in _TPU_LADDER:
+        if c.rows >= h:
+            base = c
+            break
+    return dataclasses.replace(
+        base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+        track_best=False, store_lastcol=False)
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_group_fn(cfg, njq: int, hk: int, B: int):
+    """One chained-strip step for a HEIGHT GROUP: the batched Mosaic
+    kernel + logical realignment, one dispatch for all B elements."""
+    import jax.numpy as jnp
+
+    plen = wf.padded_len(cfg, njq)
+    lane = (hk - 1) // cfg.alpha
+
+    def go(a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners):
+        ph, pf = wf.batched_strip_pallas(
+            cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners,
+            nj=njq, h_true=hk, B=B)
+        fill = jnp.full((B, lane), NEG, jnp.int32)
+        lh = jnp.concatenate([ph[:, lane:], fill], axis=1)
+        lf = jnp.concatenate([pf[:, lane:], fill], axis=1)
+        return lh, lf
+
+    return jax.jit(go)
+
+
+def _run_halves_per_pair(halves, params):
+    """Equal-height halves, one fused Pallas dispatch per (pair, chained
+    strip).  Independent pairs pipeline through async dispatch, which
+    measured FASTER than the grouped batched kernel below."""
+    import jax.numpy as jnp
+
+    h = len(halves[0].sub0)
+    cfg = _pallas_mm_cfg(h)
+    R = cfg.rows
     out = []
     for hf in halves:
-        h, w = len(hf.sub0), len(hf.sub1)
-        cfg = dataclasses.replace(
-            _TPU_LADDER[-1], recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-            track_best=False, store_lastcol=False)
-        for c in _TPU_LADDER:
-            if c.rows >= h:
-                cfg = dataclasses.replace(
-                    c, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-                    track_best=False, store_lastcol=False)
-                break
+        w = len(hf.sub1)
         njq = max(cfg.chunk, 1 << (max(w, 1) - 1).bit_length())
         plen = wf.padded_len(cfg, njq)
         b = np.full(plen, wf.B_SENTINEL, np.int32)
@@ -160,7 +186,6 @@ def _run_halves_pallas(halves, params):
         bh_d, bf_d = jnp.asarray(bh), jnp.asarray(bf)
         b_d = jnp.asarray(b)
         carry = (jnp.int32(0),) * 3
-        R = cfg.rows
         for s0r in range(0, h, R):
             hk = min(R, h - s0r)
             a_lanes = jnp.asarray(wf.pack_strip_rows(
@@ -180,6 +205,76 @@ def _run_halves_pallas(halves, params):
         lf[0] = score._border_f_value(hf.col_init, h, params)
         lh[1:] = np.asarray(bh_d[:w])
         lf[1:] = np.asarray(bf_d[:w])
+        out.append((lh, lf))
+    return out
+
+
+def _run_halves_pallas(halves, params):
+    """Equal-height halves through the BATCHED Mosaic kernel: one
+    dispatch per chained strip for the whole group.  Measured slower than
+    _run_halves_per_pair on the tunneled chip (async dispatch pipelines
+    pairs; the (B, chunks) grid serializes them) — kept as an available
+    engine."""
+    import jax.numpy as jnp
+
+    h = len(halves[0].sub0)
+    assert all(len(x.sub0) == h for x in halves)
+    cfg = _pallas_mm_cfg(h)
+    R = cfg.rows
+    B = len(halves)
+    w_max = max(len(x.sub1) for x in halves)
+    njq = max(cfg.chunk, 1 << (max(w_max, 1) - 1).bit_length())
+    plen = wf.padded_len(cfg, njq)
+
+    b_cap = max(1, _PALLAS_MAX_BYTES // (plen * 24))
+    if B > b_cap:
+        out = []
+        for o in range(0, B, b_cap):
+            out.extend(_run_halves_pallas(halves[o : o + b_cap], params))
+        return out
+
+    b_all = np.full((B, plen), wf.B_SENTINEL, np.int32)
+    bh = np.full((B, plen), NEG, np.int32)
+    bf = np.full((B, plen), NEG, np.int32)
+    for k, hf in enumerate(halves):
+        w = len(hf.sub1)
+        b_all[k, :w] = np.asarray(hf.sub1, np.int32)
+        rh, _ = border_cells(w + 1, hf.row_init, params)
+        bh[k, :w] = rh[1:]
+    b_d = jnp.asarray(b_all)
+    bh_d, bf_d = jnp.asarray(bh), jnp.asarray(bf)
+
+    for s0r in range(0, h, R):
+        hk = min(R, h - s0r)
+        a_all = np.empty((B, cfg.alpha, cfg.rs, 128), np.int32)
+        ih_all = np.empty_like(a_all)
+        ie_all = np.empty_like(a_all)
+        corners = np.zeros(B, np.int32)
+        for k, hf in enumerate(halves):
+            a_all[k] = wf.pack_strip_rows(
+                cfg, np.asarray(hf.sub0[s0r : s0r + hk], np.int32))
+            ch, ce = border_cells(hk, hf.col_init, params, start=s0r + 1)
+            ihp, iep = wf.pack_border_cols(cfg, ch, ce)
+            ih_all[k], ie_all[k] = ihp, iep
+            ch0, _ = border_cells(1, hf.col_init, params, start=s0r)
+            corners[k] = ch0[0]
+        fn = _pallas_group_fn(cfg, njq, hk, B)
+        bh_d, bf_d = fn(jnp.asarray(a_all), b_d, bh_d, bf_d,
+                        jnp.asarray(ih_all), jnp.asarray(ie_all),
+                        jnp.asarray(corners))
+
+    bh = np.asarray(bh_d)
+    bf = np.asarray(bf_d)
+    out = []
+    for k, hf in enumerate(halves):
+        w = len(hf.sub1)
+        lh = np.empty(w + 1, np.int64)
+        lf = np.empty(w + 1, np.int64)
+        chb, _ = border_cells(h + 1, hf.col_init, params)
+        lh[0] = chb[h]
+        lf[0] = score._border_f_value(hf.col_init, h, params)
+        lh[1:] = bh[k, :w]
+        lf[1:] = bf[k, :w]
         out.append((lh, lf))
     return out
 
@@ -205,10 +300,24 @@ def _run_halves(halves: list[_Half], params: ScoreParams
     chains = -(-h_max // cfg0.rows)
     per_elem = cfg0.steps(njq0) * chains
     if _jax.default_backend() == "tpu":
+        # Per-pair Pallas when the batched scan would be slower.  (A
+        # grouped batched Mosaic kernel — wf.batched_strip_pallas — was
+        # measured SLOWER end-to-end than per-pair calls here: async
+        # dispatch pipelines independent pairs, while the (B, chunks)
+        # grid serializes them; the primitive is kept for future use.)
         est_batched = B * per_elem * _SCAN_S_PER_ROWSTEP
         est_pallas = B * max(1, -(-h_max // 131072)) * _PALLAS_S_PER_CALL
         if est_pallas < est_batched:
-            return _run_halves_pallas(halves, params)
+            by_h: dict[int, list[int]] = {}
+            for i, hf in enumerate(halves):
+                by_h.setdefault(len(hf.sub0), []).append(i)
+            rows: list = [None] * B
+            for hgrp, idxs in by_h.items():
+                grp = [halves[i] for i in idxs]
+                for i, row in zip(idxs,
+                                  _run_halves_per_pair(grp, params)):
+                    rows[i] = row
+            return rows
 
     # bound the duration of a single vmapped call
     b_cap = max(1, _MAX_ROWSTEPS_PER_CALL // max(per_elem, 1))

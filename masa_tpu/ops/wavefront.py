@@ -760,6 +760,144 @@ def pull_row_delta(bus, nj: int) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "nj", "h_true", "B"))
+def batched_strip_pallas(cfg: WavefrontConfig, a_all, b_all, bus_h_all,
+                         bus_f_all, ih_all, ie_all, corners,
+                         nj: int, h_true: int, B: int):
+    """A BATCH of equal-shape strips in ONE Mosaic kernel: grid
+    (batch, chunks), row-major, so each element's chunks run in order and
+    the VMEM state scratch resets at its chunk 0.  Built for the
+    level-batched stage 4, where a per-pair dispatch costs ~0.35 s on a
+    remote chip — one batched call replaces B of them.
+
+    a/ih/ie: (B, A, RS, 128); b/bus: (B, plen); corners: (B,).  NW
+    score-only (no best/lastcol tracking).  Returns physical buses
+    (B, plen) — logical column j of element k sits at [k, j + flush_lane].
+    """
+    assert not cfg.track_best and not cfg.store_lastcol
+    assert cfg.chunk >= cfg.lanes and cfg.chunk % 128 == 0
+    C = cfg.chunk
+    ng = _num_chunks(cfg, nj)
+    a = cfg.alpha
+    _, k_fl, fr, fc = _flush_pos(cfg, h_true)
+    make_fast = _make_step(cfg, nj, h_true, fast=True)
+    make_edge = _make_step(cfg, nj, h_true, fast=False)
+    n_state = 2 * a + 5
+
+    def kernel(cr_ref, a_ref, ih_ref, ie_ref, b_ref, bh_ref, bf_ref,
+               bho_ref, bfo_ref, state_ref):
+        bb = pl.program_id(0)
+        g = pl.program_id(1)
+        a_lanes_v = [a_ref[0, k] for k in range(a)]
+        init_h_v = [ih_ref[0, k] for k in range(a)]
+        init_e_v = [ie_ref[0, k] for k in range(a)]
+        step_fast = make_fast(a_lanes_v, init_h_v, init_e_v)
+        step_edge = make_edge(a_lanes_v, init_h_v, init_e_v)
+
+        def load_state():
+            flat = [state_ref[i] for i in range(n_state)]
+            it = iter(flat)
+            take = lambda n: tuple(next(it) for _ in range(n))
+            hh, ee = take(a), take(a)
+            r3h1, r3h2, r3f, rb = take(4)
+            bhp = next(it)[0:1, 0:1]
+            return (hh, ee, r3h1, r3h2, r3f, rb, bhp, (), (), (), ())
+
+        def pack_state(st):
+            (hh, ee, r3h1, r3h2, r3f, rb, bhp, _bv, _bt, _lh, _le) = st
+            flat = (list(hh) + list(ee) + [r3h1, r3h2, r3f, rb, None])
+            for i, v in enumerate(flat):
+                if v is None:
+                    state_ref[i, 0:1, :] = jnp.broadcast_to(bhp, (1, 128))
+                else:
+                    state_ref[i] = v
+
+        st0 = jax.lax.cond(
+            g == 0,
+            lambda: _init_state(cfg, cr_ref[bb], init_h_v, init_e_v),
+            load_state,
+        )
+        is_edge = jnp.logical_or(g == 0, (g + 1) * C > nj - 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def run(step_fn, st_in):
+            nblk = C // 128
+
+            def outer(bi, st):
+                b_row0 = b_ref[0, pl.ds(bi, 1), :]
+                bh_row0 = bh_ref[0, pl.ds(bi, 1), :]
+                bf_row0 = bf_ref[0, pl.ds(bi, 1), :]
+                zrow = jnp.zeros((1, 128), jnp.int32)
+                U = cfg.unroll
+                assert 128 % U == 0
+
+                def inner(kb, carry):
+                    st, b_row, bh_row, bf_row, bufh, buff = carry
+                    for u in range(U):
+                        k = kb * U + u
+                        t = g * C + bi * 128 + k
+                        st, h_fl, f_fl = step_fn(
+                            st, t,
+                            b_row[0:1, 0:1],
+                            bh_row[0:1, 0:1],
+                            bf_row[0:1, 0:1],
+                        )
+                        sel = lane128 == k
+                        bufh = jnp.where(
+                            sel, h_fl[fr : fr + 1, fc : fc + 1], bufh)
+                        buff = jnp.where(
+                            sel, f_fl[fr : fr + 1, fc : fc + 1], buff)
+                        b_row = jnp.roll(b_row, -1, axis=1)
+                        bh_row = jnp.roll(bh_row, -1, axis=1)
+                        bf_row = jnp.roll(bf_row, -1, axis=1)
+                    return (st, b_row, bh_row, bf_row, bufh, buff)
+
+                st2, _, _, _, bufh, buff = jax.lax.fori_loop(
+                    0, 128 // U, inner,
+                    (st, b_row0, bh_row0, bf_row0, zrow, zrow),
+                )
+                bho_ref[0, pl.ds(bi, 1), :] = bufh
+                bfo_ref[0, pl.ds(bi, 1), :] = buff
+                return st2
+
+            return jax.lax.fori_loop(0, nblk, outer, st_in)
+
+        st = jax.lax.cond(
+            is_edge, lambda s: run(step_edge, s),
+            lambda s: run(step_fast, s), st0,
+        )
+        pack_state(st)
+
+    vec_spec = pl.BlockSpec((1, a, cfg.rs, 128),
+                            lambda bb, g, *_: (bb, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    chunk_spec = pl.BlockSpec((1, C // 128, 128),
+                              lambda bb, g, *_: (bb, g, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, ng),
+        in_specs=[vec_spec, vec_spec, vec_spec,
+                  chunk_spec, chunk_spec, chunk_spec],
+        out_specs=[chunk_spec, chunk_spec],
+        scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ng * C // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, ng * C // 128, 128), jnp.int32),
+        ],
+        interpret=cfg.interpret,
+    )(corners.astype(jnp.int32).reshape(B),
+      a_all, ih_all, ie_all,
+      b_all.reshape(B, ng * C // 128, 128),
+      bus_h_all.reshape(B, ng * C // 128, 128),
+      bus_f_all.reshape(B, ng * C // 128, 128))
+    return (out[0].reshape(B, ng * C), out[1].reshape(B, ng * C))
+
+
 def slice_bus(cfg: WavefrontConfig, bus_phys, nj: int, h_true: int):
     """Extract the logical (nj,) bus from a physical array: the flush row's
     column j is emitted at step t = j + flush_lane."""

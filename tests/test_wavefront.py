@@ -283,3 +283,60 @@ def test_strip_scan_dyn_matches_static():
         got_f = np.asarray(pf)[lane : lane + n]
         np.testing.assert_array_equal(got_h, ref.last_h[1:])
         np.testing.assert_array_equal(got_f, ref.last_f[1:])
+
+
+@pytest.mark.slow
+def test_batched_strip_pallas_interpret_parity():
+    """The batched (B, chunks)-grid Mosaic kernel: per-element state
+    resets at chunk 0; mixed widths pad with sentinels; every element's
+    flush row must equal the oracle's last row."""
+    import numpy as np
+
+    from masa_tpu.models.scoring import border_cells
+    from masa_tpu.ops import oracle
+    from masa_tpu.ops import wavefront as wf
+    from masa_tpu.types import InitType, Recurrence, ScoreParams
+
+    P = ScoreParams()
+    cfg = WavefrontConfig(alpha=4, rs=1, chunk=256,
+                          recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+                          track_best=False, store_lastcol=False,
+                          interpret=True)
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B, h, nj = 3, 300, 256
+    plen = wf.padded_len(cfg, nj)
+    a_all = np.empty((B, cfg.alpha, cfg.rs, 128), np.int32)
+    ih_all = np.empty_like(a_all)
+    ie_all = np.empty_like(a_all)
+    b_all = np.full((B, plen), wf.B_SENTINEL, np.int32)
+    bh_all = np.full((B, plen), -wf.INF, np.int32)
+    bf_all = np.full((B, plen), -wf.INF, np.int32)
+    corners = np.zeros(B, np.int32)
+    refs = []
+    for k in range(B):
+        s0 = rng.choice(bases, h).astype(np.uint8)
+        w = [200, 256, 130][k]
+        s1 = rng.choice(bases, w).astype(np.uint8)
+        rh, _ = border_cells(w + 1, InitType.WITH_GAPS, P)
+        a_all[k] = wf.pack_strip_rows(cfg, s0.astype(np.int32))
+        b_all[k, :w] = s1
+        bh_all[k, :w] = rh[1:]
+        ch, ce = border_cells(h, InitType.WITH_GAPS, P, start=1)
+        ihp, iep = wf.pack_border_cols(cfg, ch, ce)
+        ih_all[k], ie_all[k] = ihp, iep
+        corners[k] = rh[0]
+        refs.append((s0, s1, w))
+    bh, bf = wf.batched_strip_pallas(
+        cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners,
+        nj=nj, h_true=h, B=B)
+    bh = np.asarray(bh)
+    bf = np.asarray(bf)
+    lane = (h - 1) // cfg.alpha
+    for k, (s0, s1, w) in enumerate(refs):
+        ref = oracle.dp_rows(s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+                             InitType.WITH_GAPS, InitType.WITH_GAPS)
+        np.testing.assert_array_equal(bh[k, lane : lane + w],
+                                      ref.last_h[1:])
+        np.testing.assert_array_equal(bf[k, lane : lane + w],
+                                      ref.last_f[1:])
