@@ -57,6 +57,20 @@ class TestRunner:
         ref = oracle.dp_rows(s0, s1, P)
         assert aln.raw_score == ref.best
 
+    def test_stage4_non_default_strategy(self, dna, homolog, tmp_path):
+        """Non-OPTIMIZED strategies must still get densified partitions
+        from stage 3 (stage3's pass-through only applies when stage 4
+        takes the TPU-batched/native OPTIMIZED path)."""
+        s0 = dna(300, seed=105)
+        s1 = homolog(s0, seed=106)
+        cfg = JobConfig(work_dir=str(tmp_path / "s4s"),
+                        stage4_max_partition=16,
+                        stage4_strategy="ORIGINAL_MM", backend="numpy")
+        job = Job(cfg)
+        aln = runner.align_job(job, s0, s1, log=lambda *a: None)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+
 
 class TestCLI:
     def test_local(self, dna, homolog, tmp_path, capsys):
