@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reverse-complement", default=None,
                    choices=["1", "2", "both"])
     # alignment mode
+    p.add_argument("--alignment-end", default=None,
+                   choices=["*", "+", "1", "2", "!"],
+                   help="where the alignment may end (default mirrors "
+                        "--alignment-start)")
     p.add_argument("--alignment-start", default="*",
                    choices=list(_STARTS),
                    help="* local; ! global; +/1/2 semi-global")
@@ -163,6 +167,8 @@ def main(argv=None) -> int:
         ram_limit=args.ram_size,
         disk_limit=args.disk_size,
         alignment_start=_STARTS[args.alignment_start],
+        alignment_end=(_STARTS[args.alignment_end]
+                       if args.alignment_end else None),
         params=params,
         max_alignments=args.max_alignments,
         clear=args.clear,

@@ -30,6 +30,8 @@ class JobConfig:
     disk_limit: int = 16 << 30
     flush_deepness: int = 7
     alignment_start: AlignmentStart = AlignmentStart.ANYWHERE
+    # None mirrors alignment_start (the classic SW/NW pairings)
+    alignment_end: AlignmentStart | None = None
     params: ScoreParams = dataclasses.field(default_factory=ScoreParams)
     max_alignments: int = 1
     clear: bool = False

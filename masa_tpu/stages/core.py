@@ -112,6 +112,8 @@ class FwdResult:
     best_j: int
     specials: SpecialRowStore
     cells: int
+    col_h: np.ndarray | None = None  # (m+1,) last column H if requested
+    col_e: np.ndarray | None = None
 
 
 def forward_pass(
@@ -133,6 +135,7 @@ def forward_pass(
     best_sink=None,
     blocks_sink=None,
     want_last_row: bool = True,
+    want_lastcol: bool = False,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`."""
@@ -183,14 +186,16 @@ def forward_pass(
         lf = res.last_f.copy()
         lf[0] = col_f_syn[m]
         return FwdResult(res.last_h, lf, res.best, res.best_i,
-                         res.best_j, store, m * n)
+                         res.best_j, store, m * n,
+                         col_h=res.col_h if want_lastcol else None,
+                         col_e=res.col_e if want_lastcol else None)
 
     cfg = cfg or adaptive_config(m)
     cfg = dataclasses.replace(
         cfg,
         recurrence=recurrence,
         track_best=track_best and recurrence == Recurrence.SMITH_WATERMAN,
-        store_lastcol=False,
+        store_lastcol=want_lastcol,
     )
     if special_every:
         # round up to the strip height (the kernel flushes at strip
@@ -234,7 +239,9 @@ def forward_pass(
     else:
         lh = lf = None
     return FwdResult(lh, lf, res.best, res.best_i, res.best_j,
-                     store, res.cells)
+                     store, res.cells,
+                     col_h=res.col_h if want_lastcol else None,
+                     col_e=res.col_e if want_lastcol else None)
 
 
 _DEFAULT_CFG = None

@@ -40,6 +40,10 @@ from masa_tpu.types import (
 class PipelineConfig:
     params: ScoreParams = dataclasses.field(default_factory=ScoreParams)
     alignment_start: AlignmentStart = AlignmentStart.ANYWHERE
+    # None mirrors alignment_start (local start -> end anywhere, pinned
+    # start -> corner); explicit values give the reference's
+    # --alignment-end endpoint control (libmasa.cpp:851)
+    alignment_end: AlignmentStart | None = None
     flush_interval: int = 0          # 0 = auto
     max_cells_stage5: int = 1 << 18  # partitions at most this many cells
     backend: str = "auto"
@@ -69,6 +73,43 @@ def _recurrence(start: AlignmentStart) -> Recurrence:
     )
 
 
+def _effective_end(pcfg) -> AlignmentStart:
+    if pcfg.alignment_end is not None:
+        return pcfg.alignment_end
+    if pcfg.alignment_start == AlignmentStart.ANYWHERE:
+        return AlignmentStart.ANYWHERE
+    return AlignmentStart.SEQUENCE_1_AND_2
+
+
+def select_endpoint(res, m: int, n: int, end: AlignmentStart,
+                    rec: Recurrence) -> Crosspoint:
+    """Endpoint per --alignment-end (where the alignment may end):
+    ANYWHERE = global max; SEQUENCE_1 = last column (all of seq1
+    consumed); SEQUENCE_2 = last row; SEQUENCE_1_OR_2 = the better of
+    those; SEQUENCE_1_AND_2 = the corner."""
+    if end == AlignmentStart.ANYWHERE:
+        if rec != Recurrence.SMITH_WATERMAN:
+            raise NotImplementedError(
+                "--alignment-end anywhere with a pinned start is not "
+                "supported yet (needs NW-valued global tracking)")
+        return Crosspoint(res.best_i, res.best_j, res.best,
+                          CrosspointType.MATCH)
+    if end == AlignmentStart.SEQUENCE_1_AND_2:
+        return Crosspoint(m, n, int(res.last_h[n]), CrosspointType.MATCH)
+    cands = []
+    if end in (AlignmentStart.SEQUENCE_2,
+               AlignmentStart.SEQUENCE_1_OR_2):
+        lh = np.asarray(res.last_h, np.int64)
+        j = int(np.argmax(lh))
+        cands.append(Crosspoint(m, j, int(lh[j]), CrosspointType.MATCH))
+    if end in (AlignmentStart.SEQUENCE_1,
+               AlignmentStart.SEQUENCE_1_OR_2):
+        ch = np.asarray(res.col_h, np.int64)
+        i = int(np.argmax(ch))
+        cands.append(Crosspoint(i, n, int(ch[i]), CrosspointType.MATCH))
+    return max(cands, key=lambda c: (c.score, -c.i, -c.j))
+
+
 def auto_flush_interval(m: int, n: int, cfg: wf.WavefrontConfig,
                         limit_bytes: int = 1 << 30) -> int:
     """Flush-interval ladder seed (Job::calculateFlushIntervals,
@@ -90,19 +131,18 @@ def stage1_pass(
     m, n = len(seq0), len(seq1)
     row_init, col_init = _mode_inits(pcfg.alignment_start)
     rec = _recurrence(pcfg.alignment_start)
+    end = _effective_end(pcfg)
     kcfg = pcfg.kernel_cfg or core.default_config()
     iv = pcfg.flush_interval or auto_flush_interval(m, n, kcfg)
     res = core.forward_pass(
         seq0, seq1, pcfg.params, rec, row_init, col_init,
         special_every=iv, store=store, backend=pcfg.backend, cfg=kcfg,
+        want_lastcol=end in (AlignmentStart.SEQUENCE_1,
+                             AlignmentStart.SEQUENCE_1_OR_2),
     )
-    if rec == Recurrence.SMITH_WATERMAN:
-        endpoint = Crosspoint(res.best_i, res.best_j, res.best,
-                              CrosspointType.MATCH)
-    else:
-        endpoint = Crosspoint(m, n, int(res.last_h[n]),
-                              CrosspointType.MATCH)
-        # the last row is itself the final special row for stage 2
+    endpoint = select_endpoint(res, m, n, end, rec)
+    if endpoint.i == m:
+        # the last row is itself a final special row for stage 2
         res.specials.put(m, res.last_h, res.last_f)
     return res, endpoint
 

@@ -18,6 +18,7 @@ from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import myers_miller as mm
 from masa_tpu.stages import core, pipeline, stage6 as st6
 from masa_tpu.types import (
+    AlignmentStart,
     Crosspoint,
     CrosspointType,
     InitType,
@@ -72,6 +73,7 @@ def _pcfg(job: Job, kernel_cfg=None) -> pipeline.PipelineConfig:
     return pipeline.PipelineConfig(
         params=job.cfg.params,
         alignment_start=job.cfg.alignment_start,
+        alignment_end=job.cfg.alignment_end,
         backend=job.cfg.backend,
         kernel_cfg=kernel_cfg,
         max_cells_stage5=job.cfg.stage5_max_cells,
@@ -116,6 +118,9 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 
     row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
     rec = pipeline._recurrence(pcfg.alignment_start)
+    end = pipeline._effective_end(pcfg)
+    want_lastcol = end in (AlignmentStart.SEQUENCE_1,
+                           AlignmentStart.SEQUENCE_1_OR_2)
     first_row = None
     first_col = None
     if r0:
@@ -162,9 +167,13 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
             special_every=ivs[0], store=store,
             backend=job.cfg.backend, cfg=kernel_cfg,
             prune=job.cfg.block_pruning,
-            pad_rows=rec == Recurrence.SMITH_WATERMAN,
+            # endpoint selection from the last row/column needs real
+            # (unpadded) final rows
+            pad_rows=(rec == Recurrence.SMITH_WATERMAN
+                      and end == AlignmentStart.ANYWHERE),
             best_sink=sink,
             blocks_sink=blocks_sink,
+            want_lastcol=want_lastcol,
         )
     finally:
         ticker.stop()
@@ -175,14 +184,16 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     with job.stats_file(STAGE_1, 0) as fh:
         timer.print_statistics(fh, cells=res.cells)
 
-    if rec == Recurrence.SMITH_WATERMAN:
+    if rec == Recurrence.SMITH_WATERMAN and end == AlignmentStart.ANYWHERE:
         best.add(r0 + res.best_i, res.best_j, res.best)
         prev = job.status.best
         if r0 and prev[2] > res.best:
             best.add(*prev)
     else:
-        best.add(m, n, int(res.last_h[n]))
-        part.put(m, res.last_h, res.last_f)
+        ep = pipeline.select_endpoint(res, m - r0, n, end, rec)
+        best.add(r0 + ep.i, ep.j, ep.score)
+        if r0 + ep.i == m:
+            part.put(m, res.last_h, res.last_f)
 
     # one endpoint crosspoint file per alignment id (crosspoint_01.II)
     for aln_id, s in enumerate(best):

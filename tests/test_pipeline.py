@@ -125,3 +125,88 @@ class TestRendering:
         text = stage6.render_text(aln, s0, s1)
         assert "Score:" in text
         assert str(aln.raw_score) in text
+
+
+class TestAlignmentEnd:
+    """--alignment-end endpoint control (libmasa.cpp:851): endpoints at
+    the last row / last column / corner / anywhere, verified against the
+    dense oracle, with the full traceback re-checked by stage 5/6."""
+
+    def _run(self, s0, s1, start, end):
+        from masa_tpu.stages import pipeline, stage6
+        from masa_tpu.types import AlignmentStart
+
+        pcfg = pipeline.PipelineConfig(
+            alignment_start=start, alignment_end=end,
+            backend="numpy", max_cells_stage5=1 << 14)
+        res, ep = pipeline.stage1_pass(s0, s1, pcfg)
+        cps = pipeline.stage2_march(s0, s1, pcfg, ep, res.specials)
+        cps = pipeline.stage3_densify(s0, s1, pcfg, cps)
+        aln = pipeline.stage5_emit(s0, s1, pcfg, cps)
+        stage6.recheck(aln, s0, s1, pcfg.params)
+        return ep, aln
+
+    def test_end_last_row_local_start(self, dna, homolog):
+        import numpy as np
+
+        from masa_tpu.ops import oracle
+        from masa_tpu.types import AlignmentStart, ScoreParams
+
+        s0 = dna(260, seed=121)
+        s1 = homolog(s0, seed=122)[: 200]
+        ref = oracle.dp_rows(s0, s1, ScoreParams())
+        want = int(np.asarray(ref.last_h).max())
+        ep, aln = self._run(s0, s1, AlignmentStart.ANYWHERE,
+                            AlignmentStart.SEQUENCE_2)
+        assert ep.i == len(s0) and ep.score == want
+        assert aln.raw_score == want
+
+    def test_end_last_col_local_start(self, dna, homolog):
+        import numpy as np
+
+        from masa_tpu.ops import oracle
+        from masa_tpu.types import AlignmentStart, ScoreParams
+
+        s0 = dna(260, seed=123)
+        s1 = homolog(s0, seed=124)[: 200]
+        ref = oracle.dp_rows(s0, s1, ScoreParams())
+        want = int(np.asarray(ref.col_h).max())
+        ep, aln = self._run(s0, s1, AlignmentStart.ANYWHERE,
+                            AlignmentStart.SEQUENCE_1)
+        assert ep.j == len(s1) and ep.score == want
+        assert aln.raw_score == want
+
+    def test_end_either_pinned_start(self, dna, homolog):
+        """start '!', end '+': global alignment of the prefix — path from
+        the origin to the best of (last row, last column)."""
+        import numpy as np
+
+        from masa_tpu.ops import oracle
+        from masa_tpu.types import (
+            AlignmentStart,
+            InitType,
+            Recurrence,
+            ScoreParams,
+        )
+
+        s0 = dna(200, seed=125)
+        s1 = dna(240, seed=126)
+        ref = oracle.dp_rows(s0, s1, ScoreParams(),
+                             Recurrence.NEEDLEMAN_WUNSCH,
+                             InitType.WITH_GAPS, InitType.WITH_GAPS)
+        want = max(int(np.asarray(ref.last_h).max()),
+                   int(np.asarray(ref.col_h).max()))
+        ep, aln = self._run(s0, s1, AlignmentStart.SEQUENCE_1_AND_2,
+                            AlignmentStart.SEQUENCE_1_OR_2)
+        assert ep.score == want
+        assert aln.raw_score == want
+
+    def test_end_anywhere_pinned_start_unsupported(self, dna):
+        import pytest
+
+        from masa_tpu.types import AlignmentStart
+
+        s0 = dna(50, seed=127)
+        with pytest.raises(NotImplementedError):
+            self._run(s0, s0, AlignmentStart.SEQUENCE_1_AND_2,
+                      AlignmentStart.ANYWHERE)
