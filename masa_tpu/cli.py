@@ -133,7 +133,8 @@ def main(argv=None) -> int:
 
         print(format_device_list())
         return 0
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     print(HEADER)
 
     import dataclasses
@@ -192,16 +193,29 @@ def main(argv=None) -> int:
 
     # --split=N shards over N devices; --split=W1,..,Wn gives weighted
     # column slabs (the reference's fork-weight syntax, libmasa.cpp:497)
-    split_weights = [float(x) for x in str(args.split).split(",")]
+    try:
+        split_weights = [float(x) for x in str(args.split).split(",")]
+    except ValueError:
+        parser.error(f"--split: expected N or W1,..,Wn, got {args.split!r}")
+    nonlocal_mode = (args.alignment_start != "*"
+                     or args.alignment_end is not None)
     if len(split_weights) > 1:
+        if nonlocal_mode:
+            parser.error(
+                "--split with weights only supports local alignment "
+                "(--alignment-start '*' and no --alignment-end)")
         from masa_tpu.parallel.split import (
             auto_urls, run_part_stage1, split_points,
         )
         from masa_tpu.stages.core import default_backend
 
-        backend = default_backend() if args.backend == "auto" \
-            else args.backend
-        if backend in ("auto", "kernel", "numpy"):
+        # strips-layer backends are scan/pallas; 'numpy' has no streamed-
+        # border path, so it degrades to the scan twin with a warning
+        if args.backend == "numpy":
+            print("warning: --backend numpy unsupported for weighted "
+                  "--split; using the scan kernel twin", file=sys.stderr)
+            backend = "scan"
+        else:
             backend = default_backend()
         points = split_points(len(seq1), split_weights)
         urls = auto_urls(jcfg.work_dir, len(split_weights))
@@ -234,6 +248,11 @@ def main(argv=None) -> int:
 
     caps = AlignerCapabilities()
     if len(seq1) > caps.maximum_seq1_len:
+        if nonlocal_mode:
+            parser.error(
+                "sequences this long require the column-split path, "
+                "which only supports local alignment "
+                "(--alignment-start '*' and no --alignment-end)")
         # oversize: chained column slabs with file:// border handoff
         # (sw_stage1.cpp:362-375 ni x nj splitting)
         from masa_tpu.parallel.split import align_oversize

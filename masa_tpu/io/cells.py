@@ -105,7 +105,13 @@ class FileCellsWriter(CellsWriter):
 
 class FileCellsReader(CellsReader):
     """Blocks until the producer has written enough cells (the reference's
-    file streams poll the growing file the same way)."""
+    file streams poll the growing file the same way).
+
+    The starvation timeout is progress-based: it resets whenever the file
+    grows, so a legitimately slow producer on a chromosome-scale serial
+    split is never killed — only a producer that makes NO progress for
+    `timeout` seconds (the reference polls unboundedly,
+    AlignerPool.cpp:201-215; a no-progress bound is strictly safer)."""
 
     def __init__(self, path: str, poll: float = 0.01, timeout: float = 60.0):
         self.path = path
@@ -118,17 +124,23 @@ class FileCellsReader(CellsReader):
 
         need = 8 * n
         deadline = time.time() + self.timeout
+        last_size = -1
         while True:
-            if os.path.exists(self.path) and (
-                os.path.getsize(self.path) >= self.offset + need
-            ):
+            size = os.path.getsize(self.path) if os.path.exists(
+                self.path) else -1
+            if size >= self.offset + need:
                 with open(self.path, "rb") as f:
                     f.seek(self.offset)
                     raw = f.read(need)
                 self.offset += need
                 return _decode(raw)
+            if size > last_size:
+                last_size = size
+                deadline = time.time() + self.timeout
             if time.time() > deadline:
-                raise TimeoutError(f"cells stream {self.path} starved")
+                raise TimeoutError(
+                    f"cells stream {self.path} made no progress for "
+                    f"{self.timeout}s")
             time.sleep(self.poll)
 
 

@@ -139,18 +139,27 @@ def reduce_partitions(seq0, seq1, cps, params, mps: int,
     seq1 = np.ascontiguousarray(seq1, np.uint8)
     arr = np.array([(c.i, c.j, c.score, int(c.type)) for c in cps],
                    np.int64).reshape(-1)
-    # worst case one crosspoint per mps cells along the path + slack
+    # worst case one crosspoint per mps cells along the path + slack;
+    # gap-dense paths can exceed the heuristic (leaf count approaches
+    # H+W when splitting bottoms out at h<2), so grow on -2 and retry
     span = sum(max(b.i - a.i, b.j - a.j) for a, b in zip(cps, cps[1:]))
     cap = 2 * (span // max(mps, 1) + len(cps) + 16)
-    out = np.empty(4 * cap, np.int64)
-    n = lib.masa_reduce_partitions(
-        seq0.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(seq0),
-        seq1.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(seq1),
-        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), len(cps),
-        params.match, params.mismatch, params.gap_open, params.gap_ext,
-        mps, nthreads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), cap,
-    )
+    hard_cap = 4 * (span + len(cps) + 16)  # true worst case
+    while True:
+        out = np.empty(4 * cap, np.int64)
+        n = lib.masa_reduce_partitions(
+            seq0.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(seq0),
+            seq1.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(seq1),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), len(cps),
+            params.match, params.mismatch, params.gap_open, params.gap_ext,
+            mps, nthreads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), cap,
+        )
+        if n != -2:
+            break
+        if cap >= hard_cap:
+            raise RuntimeError("native stage-4 output overflow")
+        cap = min(4 * cap, hard_cap)
     if n < 0:
         raise RuntimeError("native stage-4 lost the backtrace")
     quads = out[: 4 * n].reshape(n, 4)

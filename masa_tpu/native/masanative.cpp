@@ -334,8 +334,9 @@ extern "C" {
 
 // Stage-4 reduce: split every adjacent crosspoint pair until
 // max(height, width) <= mps.  cps_in/cps_out: (i, j, score, type) int64
-// quads.  Returns the output crosspoint count, or -1 on backtrace loss /
-// capacity overflow.  nthreads > 1 fans the pairs out over a thread pool
+// quads.  Returns the output crosspoint count, -1 on backtrace loss, or
+// -2 when cps_out is too small (caller retries with a larger buffer).
+// nthreads > 1 fans the pairs out over a thread pool
 // (the reference's 4-pthread reduce_partitions).
 long long masa_reduce_partitions(
     const unsigned char* seq0, long long m,
@@ -387,10 +388,10 @@ long long masa_reduce_partitions(
     count++;
     return true;
   };
-  if (!put(cps[0])) return -1;
+  if (!put(cps[0])) return -2;
   for (long long k = 0; k < pairs; k++) {
     for (const Cp& c : results[k]) {
-      if (!put(c)) return -1;
+      if (!put(c)) return -2;
     }
   }
   return count;

@@ -406,7 +406,9 @@ def run_partition(
         best, best_i, best_j = (int(v) for v in jax.device_get(dev_best))
     if dev_max is not None:
         smax, sidx = (int(v) for v in jax.device_get(dev_max))
-        if smax > best and sidx >= 0:
+        # >= : on a tie with the (later, larger-i) tail strip the phase-1
+        # strip wins, preserving the engine-wide smallest-i tie-break
+        if smax >= best and sidx >= 0:
             # phase 2: replay max-only from the nearest checkpoint, then
             # re-run the winning strip with full tracking for (i, j)
             k0 = sidx - sidx % ck_stride

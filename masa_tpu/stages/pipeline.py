@@ -189,7 +189,7 @@ def _densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, depth):
     if w > h:
         # transpose the subproblem so rows are the long axis
         t = _densify_segment(
-            seq1, seq0, _transposed_pcfg(pcfg),
+            seq1, seq0, pcfg,
             c0.transposed(), c1.transposed(), max_cells, depth + 1,
         )
         return [c.transposed() for c in t]
@@ -238,10 +238,6 @@ def _densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, depth):
         )
         prev = c
     return out
-
-
-def _transposed_pcfg(pcfg: PipelineConfig) -> PipelineConfig:
-    return pcfg
 
 
 def stage5_emit(

@@ -179,7 +179,8 @@ def test_quantize_cols_buckets():
         q = quantize_cols(nj)
         assert q >= nj and q % 128 == 0
         assert q <= max(nj * 1.125 + 128, 128)
-        assert q >= prev or True
+        assert q >= prev
+        prev = q
         seen.add(q)
     # ~8 buckets per octave over ~11 octaves
     assert len(seen) < 100
