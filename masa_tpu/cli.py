@@ -233,15 +233,27 @@ def main(argv=None) -> int:
               f"{[p.j1 - p.j0 for p in parts]}): best={b}")
         return 0
     if int(split_weights[0]):
+        if nonlocal_mode:
+            parser.error(
+                "--split only supports local alignment "
+                "(--alignment-start '*' and no --alignment-end)")
         from masa_tpu.parallel.mesh import make_mesh
-        from masa_tpu.parallel.sharded import sharded_stage1
+        from masa_tpu.parallel.sharded import sharded_align, sharded_stage1
 
         nsh = int(split_weights[0])
         mesh = make_mesh(nsh)
-        res = sharded_stage1(seq0, seq1, mesh, params=params,
-                             prune=not args.no_block_pruning)
-        print(f"stage1 (sharded over {nsh} devices): "
-              f"best={res.best}")
+        if args.stage_1 or args.no_flush:
+            res = sharded_stage1(seq0, seq1, mesh, params=params,
+                                 prune=not args.no_block_pruning)
+            print(f"stage1 (sharded over {nsh} devices): "
+                  f"best={res.best}")
+            return 0
+        b, aln = sharded_align(seq0, seq1, mesh, params=params,
+                               prune=not args.no_block_pruning)
+        print(f"alignment score: {aln.raw_score}  "
+              f"(sharded over {nsh} devices; matches={aln.matches} "
+              f"mismatches={aln.mismatches} "
+              f"gaps={aln.gap_opens}/{aln.gap_extensions})")
         return 0
 
     from masa_tpu.core.capabilities import AlignerCapabilities

@@ -6,7 +6,11 @@ import pytest
 from masa_tpu.ops import oracle
 from masa_tpu.ops.wavefront import WavefrontConfig
 from masa_tpu.parallel.mesh import make_mesh
-from masa_tpu.parallel.sharded import sharded_stage1
+from masa_tpu.parallel.sharded import (
+    sharded_align,
+    sharded_stage1,
+    sharded_stage1_full,
+)
 from masa_tpu.types import INF, Recurrence, ScoreParams
 
 P = ScoreParams()
@@ -92,3 +96,77 @@ class TestScoreSharePruning:
         ref = oracle.dp_rows(s0, s1, P)
         res = sharded_stage1(s0, s1, mesh, cfg, P, prune=True)
         assert res.best == ref.best
+
+
+CFG = WavefrontConfig(alpha=4, rs=1, chunk=512, track_best=True,
+                      store_lastcol=True)
+
+
+class TestShardedFullAlignment:
+    """The complete multi-chip pipeline (stage 1 over the mesh + slab
+    traceback + stages 3/5/6) — the reference's whole multi-GPU claim
+    (libmasa.cpp:659-757), oracle-verified end to end."""
+
+    def test_endpoint_parity(self, dna, homolog):
+        s0 = dna(700, seed=81)
+        s1 = homolog(s0, seed=82)
+        mesh = make_mesh(8)
+        ref = oracle.dp_rows(s0, s1, P)
+        full = sharded_stage1_full(s0, s1, mesh, CFG, P)
+        assert (full.best, full.best_i, full.best_j) == (
+            ref.best, ref.best_i, ref.best_j)
+        # per-device parts carry usable special rows + boundary columns
+        assert len(full.parts) >= 2
+        assert all(len(p.specials) > 0 for p in full.parts)
+        assert all(p.first_col is not None for p in full.parts[1:])
+
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_full_alignment_matches_single_chip(self, dna, homolog, ndev):
+        from masa_tpu.stages import pipeline
+
+        s0 = dna(700, seed=83)
+        s1 = homolog(s0, seed=84)
+        mesh = make_mesh(ndev)
+        ref = oracle.dp_rows(s0, s1, P)
+        best, aln = sharded_align(s0, s1, mesh, CFG, P)
+        assert best == aln.raw_score == ref.best
+        # byte-identical to the monolithic single-chip pipeline
+        aln1 = pipeline.align_pair(
+            s0, s1, pipeline.PipelineConfig(params=P))
+        assert aln.gaps == aln1.gaps
+        assert (aln.start, aln.end) == (aln1.start, aln1.end)
+
+    def test_speculative_traceback(self, dna, homolog):
+        s0 = dna(700, seed=85)
+        s1 = homolog(s0, seed=86)
+        mesh = make_mesh(8)
+        ref = oracle.dp_rows(s0, s1, P)
+        best, aln = sharded_align(s0, s1, mesh, CFG, P,
+                                  traceback="speculative")
+        assert best == aln.raw_score == ref.best
+
+    def test_full_alignment_with_score_share_pruning(self, dna, homolog):
+        s0 = dna(1024, seed=87)
+        s1 = homolog(s0, seed=88)
+        mesh = make_mesh(8)
+        ref = oracle.dp_rows(s0, s1, P)
+        best, aln = sharded_align(s0, s1, mesh, CFG, P, prune=True)
+        assert best == aln.raw_score == ref.best
+
+    def test_sparse_flush_stride(self, dna, homolog):
+        s0 = dna(700, seed=89)
+        s1 = homolog(s0, seed=90)
+        mesh = make_mesh(4)
+        ref = oracle.dp_rows(s0, s1, P)
+        best, aln = sharded_align(s0, s1, mesh, CFG, P, flush_stride=8)
+        assert best == aln.raw_score == ref.best
+
+    def test_endpoint_in_left_slab(self, dna, homolog):
+        """Path confined to early columns: the march never crosses into
+        right slabs and right devices hold only sentinel-decayed state."""
+        s0 = dna(300, seed=91)
+        s1 = np.concatenate([homolog(s0, seed=92), dna(800, seed=93)])
+        mesh = make_mesh(8)
+        ref = oracle.dp_rows(s0, s1, P)
+        best, aln = sharded_align(s0, s1, mesh, CFG, P)
+        assert best == aln.raw_score == ref.best
