@@ -131,12 +131,13 @@ def march_slab(
             ff = np.full(n_loc + 1, -INF, np.int64)
         else:
             fh, ff = specials.get(r)
-        goal_anywhere = sw_anywhere and cp.score <= (cp.j + 1) * params.match
+        goal_anywhere = sw_anywhere and core.goal_reachable(
+            cp, r, params.match)
         goal = cp.score + (
             params.gap_open if cp.type != CrosspointType.MATCH else 0
         )
 
-        width0 = min(cp.j, max(4096, 2 * (cp.i - r)))
+        width0 = core.initial_window(cp, r, backend)
         j_low = cp.j - width0
         found = None
         while True:

@@ -289,6 +289,35 @@ def adaptive_config(rows: int) -> wf.WavefrontConfig:
     return best
 
 
+def goal_reachable(cp: Crosspoint, cut_row: int, match: int) -> bool:
+    """Necessary condition for the SW alignment START to lie within the
+    reverse window rows (cut_row, cp.i]: the path consumes at most
+    cp.i - cut_row rows and cp.j columns, gaining at most `match` per
+    consumed pair — so cp.score <= min(hb, cp.j) * match.  Gating the
+    best-cell tracking on this prunes the dense start-search from every
+    hop except the final ones (the reference reaches the same effect via
+    its goal-score setup, stage2/sw_stage2.cpp:80-88)."""
+    return cp.score <= min(cp.i - cut_row, cp.j) * match
+
+
+def initial_window(cp: Crosspoint, cut_row: int, backend: str) -> int:
+    """First reverse-window width for a hop of height hb = cp.i - cut_row.
+    The matched column is typically ~hb cells left of cp.j (near-diagonal
+    path), so 2*hb succeeds on the first try; misses double and retry
+    (geometric, total work <= 2x the final window).  The kernel path keeps
+    a 4096 floor to bound the set of compiled width buckets; the numpy
+    path retries for free, so a tight floor avoids full-width passes on
+    small matrices."""
+    hb = cp.i - cut_row
+    if backend == "numpy" or (
+        backend == "auto" and hb * min(cp.j, max(256, 2 * hb)) < 16_000_000
+    ):
+        floor = 256
+    else:
+        floor = 4096
+    return min(cp.j, max(floor, 2 * hb))
+
+
 @dataclasses.dataclass
 class ReverseMatch:
     crosspoint: Crosspoint | None
@@ -491,9 +520,9 @@ def reverse_march(
         else:
             fh, ff = specials.get(r)
 
-        goal_anywhere = sw_anywhere and cp.score <= (cp.j + 1) * params.match
+        goal_anywhere = sw_anywhere and goal_reachable(cp, r, params.match)
 
-        width0 = min(cp.j, max(4096, 2 * (cp.i - r)))
+        width0 = initial_window(cp, r, backend)
         j_low = cp.j - width0
         while True:
             rm = reverse_pass_and_match(

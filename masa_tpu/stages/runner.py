@@ -213,19 +213,29 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 def stage2(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
            kernel_cfg=None, log=print) -> list[Crosspoint]:
     """Reverse goal-score marching at the stage-1 special rows
-    (sw_stage2.cpp:237)."""
+    (sw_stage2.cpp:237).
+
+    Crosspoints are autosaved incrementally as the march proceeds and the
+    stage-1 SRA is truncated behind each one (sw_stage2.cpp:364-366,441 +
+    SpecialRowsArea::truncatePartition), so a crash mid-stage resumes from
+    the deepest crosspoint already found instead of recomputing the whole
+    march.  A partial (END-less) file holds the chain in found order
+    (endpoint first, descending i — the reference stores it the same way
+    and reverses at stage end); the completed file is ascending."""
     t0 = time.time()
     pcfg = _pcfg(job, kernel_cfg)
     out_cpf = job.crosspoints_file(STAGE_2, aln_id)
 
     import os
 
+    prior: list[Crosspoint] = []   # descending (found order) on resume
     if os.path.exists(out_cpf.path):
         try:
             cps = out_cpf.load()
             if out_cpf.complete and cps:
                 log("stage2: already executed (resume)")
                 return cps
+            prior = cps
         except Exception:
             pass
 
@@ -236,12 +246,33 @@ def stage2(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
         raise RuntimeError("stage2: no stage-1 special rows area")
     if job.cfg.max_alignments > 1:
         part = _NoTruncate(part)
+    if prior and tuple(prior[0]) != tuple(endpoint):
+        prior = []                 # stale partial from another endpoint
+    march_from = prior[-1] if prior else endpoint
+    if prior:
+        log(f"stage2: resuming mid-stage from crosspoint "
+            f"({march_from.i},{march_from.j})")
+        part.truncate_above(march_from.i)
+
+    out_cpf.crosspoints = []
+    out_cpf.set_autosave()
+    for c in prior:
+        out_cpf.write(c)
+    if not prior:
+        out_cpf.write(endpoint)
+
     row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
     cps = core.reverse_march(
-        seq0, seq1, job.cfg.params, endpoint, part,
+        seq0, seq1, job.cfg.params, march_from, part,
         row_init, col_init, pcfg.alignment_start,
         backend=job.cfg.backend, cfg=kernel_cfg,
+        on_crosspoint=out_cpf.write,
     )
+    if out_cpf._fh:                # drop the autosave handle; the
+        out_cpf._fh.close()        # authoritative save is ascending
+        out_cpf._fh = None
+    # full ascending chain: the fresh march + the resumed prefix
+    cps = cps + [c for c in reversed(prior)][1:]
     out_cpf.crosspoints = cps
     out_cpf.save()
     job.status.update(stage=STAGE_2)

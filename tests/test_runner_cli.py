@@ -41,6 +41,69 @@ class TestRunner:
         cps = runner.stage2(job2, s0, s1, log=lambda *a: None)
         assert cps[-1].score == ref.best
 
+    def test_stage2_midstage_crash_resume(self, dna, homolog, jobdir,
+                                          monkeypatch):
+        """Kill stage 2 after two crosspoints: the rerun must resume from
+        the partial autosaved chain (not the endpoint) and produce the
+        same crosspoints as an uninterrupted run."""
+        s0 = dna(600, seed=111)
+        s1 = homolog(s0, seed=112)
+        cfg = JobConfig(work_dir=jobdir, ram_limit=1 << 20,
+                        disk_limit=1 << 20, stage4_max_partition=0,
+                        backend="numpy")
+        job = Job(cfg)
+        runner.stage1(job, s0, s1, log=lambda *a: None)
+
+        from masa_tpu.stages import core as score
+
+        orig = score.reverse_pass_and_match
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise KeyboardInterrupt("simulated crash")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(score, "reverse_pass_and_match", dying)
+        with pytest.raises(KeyboardInterrupt):
+            runner.stage2(job, s0, s1, log=lambda *a: None)
+        monkeypatch.setattr(score, "reverse_pass_and_match", orig)
+
+        # the partial file exists, is END-less, and holds > 1 crosspoint
+        cpf = job.crosspoints_file(runner.STAGE_2, 0)
+        partial = cpf.load()
+        assert not cpf.complete and len(partial) >= 2
+
+        resumed = {"from": None}
+        real_march = score.reverse_march
+
+        def spying(seq0, seq1, params, endpoint, *a, **k):
+            resumed["from"] = endpoint
+            return real_march(seq0, seq1, params, endpoint, *a, **k)
+
+        monkeypatch.setattr(score, "reverse_march", spying)
+        job2 = Job(cfg)
+        cps = runner.stage2(job2, s0, s1, log=lambda *a: None)
+        # marched from the deepest found crosspoint, not the endpoint
+        assert tuple(resumed["from"]) == tuple(partial[-1])
+        assert resumed["from"].i < partial[0].i
+
+        # equals an uninterrupted run in a fresh work dir
+        import os
+        clean_cfg = JobConfig(work_dir=jobdir + ".clean",
+                              ram_limit=1 << 20, disk_limit=1 << 20,
+                              stage4_max_partition=0, backend="numpy")
+        cjob = Job(clean_cfg)
+        runner.stage1(cjob, s0, s1, log=lambda *a: None)
+        clean = runner.stage2(cjob, s0, s1, log=lambda *a: None)
+        assert [tuple(c) for c in cps] == [tuple(c) for c in clean]
+        # and the completed file round-trips ascending
+        reread = job2.crosspoints_file(runner.STAGE_2, 0)
+        cps2 = reread.load()
+        assert reread.complete
+        assert [tuple(c) for c in cps2] == [tuple(c) for c in cps]
+
     def test_info_mismatch_detected(self, dna, jobdir):
         cfg = JobConfig(work_dir=jobdir)
         Job(cfg, "aaa", "bbb")
