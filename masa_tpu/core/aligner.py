@@ -111,25 +111,32 @@ class TPUAligner(Aligner):
         )
         iv = mgr.get_special_row_interval()
         if iv:
+            # the kernel flushes at strip boundaries only
             iv = max(((iv + cfg.rows - 1) // cfg.rows) * cfg.rows, cfg.rows)
 
         def on_row(r, bus_h, bus_f):
             mgr.dispatch_row(p.i0 + r, bus_h, bus_f)
 
         def stop(out, rows_done, strip_rows, col_off):
-            if cfg.track_best:
+            if cfg.track_best and "best_v" in out:
                 s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
                 strip_top = rows_done - strip_rows
                 mgr.dispatch_score(p.i0 + strip_top + bi + 1,
                                    p.j0 + col_off + bj + 1, s)
             return not mgr.must_continue()
 
-        # Per-strip score dispatch exists for goal-score early exit; with
-        # no goal the end-of-partition dispatch suffices and dropping the
-        # callback lets run_partition keep the best on-device (no host
-        # round-trip per strip).
-        if mgr.goal_score is None:
+        # Per-strip score dispatch only when the manager wants every
+        # candidate (multi-alignment collection): the per-strip host
+        # round-trip breaks the fused-dispatch fast path, and with no
+        # consumer the end-of-partition dispatch suffices (the best is
+        # folded on-device).
+        if not mgr.want_all_scores:
             stop = None
+
+        blocks = None
+        if mgr.blocks_sink is not None:
+            blocks = lambda rows_done, maxima: mgr.dispatch_block_scores(
+                p.i0 + rows_done, maxima)
 
         res = strips.run_partition(
             cfg, sub0, sub1, mgr.params,
@@ -141,11 +148,15 @@ class TPUAligner(Aligner):
             on_special_row=on_row if iv else None,
             stop_check=stop,
             prune=mgr.must_prune_blocks(),
+            pad_rows=mgr.pad_rows,
+            blocks_sink=blocks,
+            want_last_row=mgr.must_dispatch_last_row(),
         )
         self.stats.cells += res.cells
         self.stats.pruned_cells += res.pruned_cells
         self.stats.partitions += 1
-        mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
+        if res.last_h is not None:
+            mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
         if cfg.store_lastcol:
             mgr.dispatch_last_column(p.j1, res.col_h, res.col_e)
         if cfg.track_best:
@@ -164,6 +175,8 @@ class CPUAligner(Aligner):
         return caps
 
     def align_partition(self, partition: Partition) -> None:
+        from masa_tpu.types import Recurrence
+
         mgr = self.manager
         p = partition
         sub0 = self._seq0[p.i0 : p.i1]
@@ -176,14 +189,45 @@ class CPUAligner(Aligner):
             first_row=mgr.receive_first_row(),
             first_col=mgr.receive_first_column(),
             special_rows=rows,
+            row_bests=mgr.want_all_scores,
         )
         self.stats.cells += p.height * p.width
         self.stats.partitions += 1
-        for r, (h, f) in res.specials.items():
+        for r in sorted(res.specials):
+            h, f = res.specials[r]
             mgr.dispatch_row(p.i0 + r, h[1:], f[1:])
-        mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
+        if mgr.blocks_sink is not None:
+            # block maxima from the special rows (the kernel path dumps
+            # per-strip chunk maxima; this is the viz analogue)
+            n = p.width
+            cw = max(1, n // 64)
+            ngb = -(-n // cw)
+            for r in sorted(res.specials):
+                h = np.asarray(res.specials[r][0][1:], np.int64)
+                padv = np.full(ngb * cw, h.min(), np.int64)
+                padv[:n] = h
+                mgr.dispatch_block_scores(
+                    p.i0 + r, padv.reshape(ngb, cw).max(axis=1))
+        if mgr.must_dispatch_last_row():
+            mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
         if mgr.must_dispatch_last_column():
             mgr.dispatch_last_column(p.j1, res.col_h, res.col_e)
         if mgr.must_dispatch_scores():
-            mgr.dispatch_score(p.i0 + res.best_i, p.j0 + res.best_j,
-                               res.best)
+            if mgr.want_all_scores and res.row_best_val is not None:
+                for i in range(p.height):
+                    mgr.dispatch_score(p.i0 + i + 1,
+                                       p.j0 + int(res.row_best_j[i]),
+                                       int(res.row_best_val[i]))
+            if mgr.recurrence == Recurrence.NEEDLEMAN_WUNSCH:
+                # dp_rows' SW-style running best is wrong for NW values;
+                # recompute densely (the reverse-pass start search)
+                dres = oracle.dp_matrix(
+                    sub0, sub1, mgr.params, mgr.recurrence,
+                    mgr.get_first_row_init_type(),
+                    mgr.get_first_column_init_type(),
+                )
+                b, bi, bj = dres.best()
+                mgr.dispatch_score(p.i0 + bi, p.j0 + bj, b)
+            else:
+                mgr.dispatch_score(p.i0 + res.best_i, p.j0 + res.best_j,
+                                   res.best)

@@ -3,8 +3,13 @@ libmasa/IManager.hpp:90-319; impl common/AlignerManager.cpp).
 
 Per-partition configuration (recurrence, special-row cadence, border init
 types, goal score, pruning) and the dispatch funnel the aligner feeds
-(rows -> special-row store, last column -> goal matching, scores ->
-best-score list with goal stop)."""
+(rows -> special-row store with border-gap synthesis, last row -> goal
+matching, scores -> best-score tracking with goal stop, block maxima ->
+blocks file).  This IS the production pipeline's dispatch path: the stage
+machinery (stages/core.forward_pass, reverse_pass_and_match) constructs a
+manager + aligner pair for every partition it computes, exactly as the
+reference's stages drive AlignerManager::alignPartition
+(stage1/sw_stage1.cpp:255, common/AlignerManager.cpp:91-168)."""
 
 from __future__ import annotations
 
@@ -12,7 +17,6 @@ import numpy as np
 
 from masa_tpu.core.best_score import BestScoreList
 from masa_tpu.models.scoring import border_cells, match_column
-from masa_tpu.stages.core import SpecialRowStore
 from masa_tpu.types import (
     INF,
     Crosspoint,
@@ -40,15 +44,31 @@ class AlignerManager:
         self._first_row = None
         self._first_col = None
         self.super_partition: Partition | None = None
+        # execution hints (per-partition, like the reference's per-stage
+        # manager configuration)
+        self.track_best = True        # must_dispatch_scores
+        self.want_all_scores = False  # per-strip/row score dispatch
+        self.want_last_row = True
+        self.last_column_wanted = False
+        self.pad_rows = False
         # dispatch sinks
-        self.special_rows: SpecialRowStore | None = None
+        self.special_rows = None      # SpecialRowStore protocol
         self.best_scores = BestScoreList()
+        self.score_callback = None    # best_sink(i, j, score)
+        self.blocks_sink = None       # blocks_sink(rows_done, maxima)
+        self.best: tuple[int, int, int] = (-INF, 0, 0)
         self.goal_score: int | None = None
-        self.goal_base_row = None  # (h, f) stored cut for goal matching
+        self.goal_base_row = None     # (h, f) stored cut for goal matching
+        self.reverse_f0: int | None = None  # exact border gap at f[0] of
+        #   the dispatched last row (reverse passes pin continuing gaps,
+        #   stages.core._border_f_value semantics)
         self._goal_cell: Crosspoint | None = None
+        self.last_match_result = None
         self._stopped = False
         self.last_row = None
         self.last_column = None
+        self._col_h_cache = None
+        self._col_f_syn = None
 
     # --- configuration (the IManager getters) -------------------------
 
@@ -62,7 +82,7 @@ class AlignerManager:
         self.block_pruning = on and self.aligner.get_capabilities(
         ).block_pruning
 
-    def set_special_rows_store(self, store: SpecialRowStore | None) -> None:
+    def set_special_rows_store(self, store) -> None:
         self.special_rows = store
 
     def set_first_row(self, init: InitType, data=None) -> None:
@@ -72,6 +92,8 @@ class AlignerManager:
     def set_first_column(self, init: InitType, data=None) -> None:
         self.first_col_init = init
         self._first_col = data
+        self._col_h_cache = None
+        self._col_f_syn = None
 
     def set_goal_score(self, score: int, base_row=None) -> None:
         """Stop when `score` is matched — against the stored cut row (the
@@ -104,8 +126,10 @@ class AlignerManager:
         return not self._stopped
 
     def must_dispatch_scores(self) -> bool:
-        return (self.recurrence == Recurrence.SMITH_WATERMAN
-                or self.goal_score is not None)
+        return self.track_best
+
+    def must_dispatch_last_row(self) -> bool:
+        return self.want_last_row
 
     def must_dispatch_last_column(self) -> bool:
         return self.last_column_wanted
@@ -113,44 +137,75 @@ class AlignerManager:
     def must_prune_blocks(self) -> bool:
         return self.block_pruning
 
-    last_column_wanted = False
+    # --- border synthesis ----------------------------------------------
+
+    def _col_borders(self, height: int):
+        """Column-border H values rows 0..height and the synthesized
+        fresh-gap F along that border (stages.core.border_gap_values:
+        F(r) = max_{r0<r}(H(r0) - open - (r-r0)*ext))."""
+        if self._col_h_cache is None or len(self._col_h_cache) <= height:
+            from masa_tpu.stages.core import border_gap_values
+
+            if self.first_col_init == InitType.CUSTOM:
+                col_h = np.asarray(self._first_col[0], np.int64)
+            else:
+                col_h, _ = border_cells(height + 1, self.first_col_init,
+                                        self.params)
+                col_h = col_h.astype(np.int64)
+            self._col_h_cache = col_h
+            self._col_f_syn = border_gap_values(col_h, self.params)
+        return self._col_h_cache, self._col_f_syn
+
+    def _col_border(self, row: int):
+        """Border values at ABSOLUTE row index (dispatches carry absolute
+        rows; the border arrays are partition-local)."""
+        r = row - (self.super_partition.i0 if self.super_partition else 0)
+        h, f = self._col_borders(max(r, 1))
+        return int(h[r]), int(f[r])
 
     # --- dispatch funnel (AlignerManager.cpp:334-450) ------------------
 
     def dispatch_row(self, row: int, bus_h, bus_f) -> None:
-        if self.special_rows is None:
-            return
         n = len(bus_h)
         h_full = np.empty(n + 1, np.int64)
         f_full = np.empty(n + 1, np.int64)
-        ch, _ = self._col_border(row)
+        ch, cf = self._col_border(row)
         h_full[0] = ch
-        f_full[0] = -INF
+        f_full[0] = cf
         h_full[1:] = bus_h
         f_full[1:] = bus_f
-        self.special_rows.put(row, h_full, f_full)
+        if self.special_rows is not None:
+            self.special_rows.put(row, h_full, f_full)
         if self.goal_base_row is not None:
             self._match_goal(row, h_full, f_full)
 
     def dispatch_last_row(self, row: int, last_h, last_f) -> None:
-        self.last_row = (row, np.asarray(last_h), np.asarray(last_f))
+        h_full = np.asarray(last_h, np.int64)
+        f_full = np.asarray(last_f, np.int64).copy()
+        if self.reverse_f0 is not None:
+            f_full[0] = self.reverse_f0
+        else:
+            f_full[0] = self._col_border(row)[1]
+        self.last_row = (row, h_full, f_full)
         if self.goal_base_row is not None and self._goal_cell is None:
-            self._match_goal(row, np.asarray(last_h, np.int64),
-                             np.asarray(last_f, np.int64))
+            self._match_goal(row, h_full, f_full)
 
     def dispatch_last_column(self, col: int, col_h, col_e) -> None:
         self.last_column = (col, np.asarray(col_h), np.asarray(col_e))
 
     def dispatch_score(self, i: int, j: int, score: int) -> None:
         self.best_scores.add(i, j, score)
+        if self.score_callback is not None:
+            self.score_callback(i, j, score)
+        s, bi, bj = self.best
+        if (score, -i, -j) > (s, -bi, -bj):   # engine tie-break
+            self.best = (score, i, j)
         if self.goal_score is not None and score >= self.goal_score:
             self._stopped = True
 
-    def _col_border(self, row: int):
-        if self.first_col_init == InitType.CUSTOM:
-            return int(self._first_col[0][row]), -INF
-        h, _ = border_cells(1, self.first_col_init, self.params, start=row)
-        return int(h[0]), -INF
+    def dispatch_block_scores(self, rows_done: int, maxima) -> None:
+        if self.blocks_sink is not None:
+            self.blocks_sink(rows_done, maxima)
 
     def _match_goal(self, row: int, h_full, f_full) -> None:
         base_h, base_f = self.goal_base_row
@@ -159,6 +214,7 @@ class AlignerManager:
             np.asarray(base_h, np.int64), np.asarray(base_f, np.int64),
             self.goal_score, self.params.gap_open,
         )
+        self.last_match_result = mres
         if mres.found:
             t = (CrosspointType.MATCH if mres.type == MatchType.ALIGNED
                  else CrosspointType.GAP_2)

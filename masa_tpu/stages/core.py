@@ -28,8 +28,6 @@ import dataclasses
 import numpy as np
 
 from masa_tpu.models.scoring import border_cells, match_column
-from masa_tpu.ops import oracle
-from masa_tpu.ops import strips
 from masa_tpu.ops import wavefront as wf
 from masa_tpu.types import (
     INF,
@@ -116,6 +114,19 @@ class FwdResult:
     col_e: np.ndarray | None = None
 
 
+def make_aligner(backend: str, rows: int,
+                 cfg: wf.WavefrontConfig | None = None):
+    """The production aligner factory: the oracle extension for the numpy
+    backend, the wavefront extension otherwise (the role of `new
+    CUDAligner()` at the reference's entry point, src/main.cpp:39)."""
+    from masa_tpu.core.aligner import CPUAligner, TPUAligner
+
+    if backend == "numpy":
+        return CPUAligner()
+    return TPUAligner(cfg or adaptive_config(rows),
+                      backend=default_backend())
+
+
 def forward_pass(
     seq0: np.ndarray,
     seq1: np.ndarray,
@@ -138,110 +149,51 @@ def forward_pass(
     want_lastcol: bool = False,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
-    border gap values) into `store`."""
+    border gap values) into `store`.
+
+    One code path: builds an AlignerManager + aligner extension and drives
+    it, exactly as the reference's stage 1 does
+    (stage1/sw_stage1.cpp:255 -> AlignerManager::alignPartition).  The
+    manager is the dispatch funnel (rows -> store, scores -> best, block
+    maxima -> sink); this function only translates the result frame."""
+    from masa_tpu.core.manager import AlignerManager
+    from masa_tpu.types import Partition
+
     m, n = len(seq0), len(seq1)
     store = store if store is not None else SpecialRowStore()
     if backend == "auto":
         backend = "numpy" if m * n < 4_000_000 else "kernel"
 
-    # Border H column for gap synthesis at k=0 of each special row.
-    if col_init == InitType.CUSTOM:
-        col_h = np.asarray(first_col[0], np.int64)
-    else:
-        col_h, _ = border_cells(m + 1, col_init, params)
-        col_h = col_h.astype(np.int64)
-    col_f_syn = border_gap_values(col_h, params)
+    aligner = make_aligner(backend, m, cfg)
+    mgr = AlignerManager(aligner, params)
+    mgr.set_recurrence_type(recurrence)
+    mgr.set_first_row(row_init, first_row)
+    mgr.set_first_column(col_init, first_col)
+    mgr.set_special_rows_store(store)
+    mgr.set_special_row_interval(special_every)
+    mgr.set_block_pruning(prune)
+    mgr.track_best = track_best and recurrence == Recurrence.SMITH_WATERMAN
+    mgr.want_all_scores = best_sink is not None
+    mgr.score_callback = best_sink
+    mgr.pad_rows = pad_rows
+    # a padded tail strip makes the final row meaningless anyway — never
+    # pay the O(n) pull for it
+    mgr.want_last_row = want_last_row and not pad_rows
+    mgr.last_column_wanted = want_lastcol
+    mgr.blocks_sink = blocks_sink
+    aligner.set_sequences(seq0, seq1)
+    mgr.align_partition(Partition(0, 0, m, n))
 
-    def put_row(r, h_full, f_full):
-        f_full = np.asarray(f_full, np.int64).copy()
-        f_full[0] = col_f_syn[r]
-        store.put(r, np.asarray(h_full, np.int64), f_full)
-
-    if backend == "numpy":
-        rows = tuple(
-            range(special_every, m + 1, special_every)
-        ) if special_every else ()
-        res = oracle.dp_rows(
-            seq0, seq1, params, recurrence, row_init, col_init,
-            first_row=first_row, first_col=first_col,
-            special_rows=rows,
-            row_bests=best_sink is not None,
-        )
-        for r, (h, f) in res.specials.items():
-            put_row(r, h, f)
-        if blocks_sink is not None:
-            # numpy path: block maxima from the special rows (the kernel
-            # path dumps per-strip chunk maxima; this is the viz analogue)
-            cw = max(1, n // 64)
-            ngb = -(-n // cw)
-            for r in sorted(res.specials):
-                h = np.asarray(res.specials[r][0][1:], np.int64)
-                padv = np.full(ngb * cw, h.min(), np.int64)
-                padv[:n] = h
-                blocks_sink(r, padv.reshape(ngb, cw).max(axis=1))
-        if best_sink is not None and res.row_best_val is not None:
-            for i in range(m):
-                best_sink(i + 1, int(res.row_best_j[i]),
-                          int(res.row_best_val[i]))
-        lf = res.last_f.copy()
-        lf[0] = col_f_syn[m]
-        return FwdResult(res.last_h, lf, res.best, res.best_i,
-                         res.best_j, store, m * n,
-                         col_h=res.col_h if want_lastcol else None,
-                         col_e=res.col_e if want_lastcol else None)
-
-    cfg = cfg or adaptive_config(m)
-    cfg = dataclasses.replace(
-        cfg,
-        recurrence=recurrence,
-        track_best=track_best and recurrence == Recurrence.SMITH_WATERMAN,
-        store_lastcol=want_lastcol,
-    )
-    if special_every:
-        # round up to the strip height (the kernel flushes at strip
-        # boundaries only)
-        r = cfg.rows
-        special_every = ((special_every + r - 1) // r) * r
-
-    def on_special(r, bus_h, bus_f):
-        h_full = np.empty(n + 1, np.int64)
-        f_full = np.empty(n + 1, np.int64)
-        h_full[0] = col_h[r]
-        f_full[0] = NEG
-        h_full[1:] = bus_h
-        f_full[1:] = bus_f
-        put_row(r, h_full, f_full)
-
-    def strip_sink(out, rows_done, strip_rows, col_off):
-        if best_sink is not None and "best_v" in out:
-            s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
-            best_sink(rows_done - strip_rows + bi + 1, col_off + bj + 1, s)
-        return False
-
-    res = strips.run_partition(
-        cfg, seq0, seq1, params, row_init, col_init,
-        first_row=first_row, first_col=first_col,
-        backend=default_backend(),
-        special_every=special_every,
-        on_special_row=on_special if special_every else None,
-        prune=prune,
-        pad_rows=pad_rows,
-        stop_check=strip_sink if best_sink is not None else None,
-        blocks_sink=blocks_sink,
-        # a padded tail strip makes the final row meaningless anyway —
-        # never pay the O(n) pull for it
-        want_last_row=want_last_row and not pad_rows,
-    )
-    if want_last_row and not pad_rows:
-        lf = res.last_f.copy()
-        lf[0] = col_f_syn[m]
-        lh = res.last_h
+    if mgr.last_row is not None:
+        _, lh, lf = mgr.last_row
     else:
         lh = lf = None
-    return FwdResult(lh, lf, res.best, res.best_i, res.best_j,
-                     store, res.cells,
-                     col_h=res.col_h if want_lastcol else None,
-                     col_e=res.col_e if want_lastcol else None)
+    best, best_i, best_j = mgr.best
+    col_h = col_e = None
+    if want_lastcol and mgr.last_column is not None:
+        _, col_h, col_e = mgr.last_column
+    return FwdResult(lh, lf, best, best_i, best_j, store,
+                     aligner.stats.cells, col_h=col_h, col_e=col_e)
 
 
 _DEFAULT_CFG = None
@@ -350,6 +302,9 @@ def reverse_pass_and_match(
     start-found result (SW), or crosspoint=None when the window was too
     small (caller widens j_low).
     """
+    from masa_tpu.core.manager import AlignerManager
+    from masa_tpu.types import Partition
+
     ci, cj, s, t = cp.i, cp.j, cp.score, cp.type
     hb = ci - cut_row
     assert hb >= 1
@@ -369,50 +324,46 @@ def reverse_pass_and_match(
     # crosspoint; col border = vertical.  Pin the crosspoint state.
     row_init, col_init = init_types_for(t)
 
+    # Matching frame: index k runs j = cj - k for k in [0, width].
+    fwd_cut_h = np.asarray(fwd_h, np.int64)[j_low : cj + 1][::-1]
+    fwd_cut_f = np.asarray(fwd_f, np.int64)[j_low : cj + 1][::-1]
+
     if backend == "auto":
         backend = "numpy" if hb * max(width, 1) < 16_000_000 else "kernel"
     if width == 0:
         # Degenerate window: only the straight-up border column exists.
         rev_h, _ = border_cells(hb + 1, col_init, params)
         rev_h = rev_h.astype(np.int64)
-        rev_f = border_gap_values(rev_h, params)
         rev_last_h = rev_h[hb : hb + 1]
         rev_last_f = np.array(
             [_border_f_value(col_init, hb, params)], np.int64
         )
         best = NEG
         best_pq = (0, 0)
-    elif backend == "numpy":
-        res = oracle.dp_rows(
-            rseq0, rseq1, params, Recurrence.NEEDLEMAN_WUNSCH,
-            row_init, col_init,
-        )
-        rev_last_h = res.last_h
-        rev_last_f = res.last_f.copy()
-        rev_last_f[0] = _border_f_value(col_init, hb, params)
-        best, best_pq = _np_best(rseq0, rseq1, params, row_init, col_init,
-                                 goal) if goal_anywhere else (NEG, (0, 0))
-        rev_col = (res.col_h, res.col_e) if want_rev_col else None
-    else:
-        kcfg = cfg or adaptive_config(hb)
-        kcfg = dataclasses.replace(
-            kcfg,
-            recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-            track_best=goal_anywhere,
-            store_lastcol=want_rev_col,
-        )
-        res = strips.run_partition(
-            kcfg, rseq0, rseq1, params, row_init, col_init,
-            backend=default_backend(),
-        )
-        rev_last_h = res.last_h
-        rev_last_f = res.last_f.copy()
-        rev_last_f[0] = _border_f_value(col_init, hb, params)
-        best = res.best
-        best_pq = (res.best_i, res.best_j)
-        rev_col = (res.col_h, res.col_e) if want_rev_col else None
-    if width == 0:
         rev_col = None
+        mres = match_column(rev_last_h, rev_last_f, fwd_cut_h, fwd_cut_f,
+                            goal, params.gap_open)
+    else:
+        # One code path: the same manager-driven dispatch funnel as the
+        # forward passes, with the stored cut installed as the goal base
+        # (the manager's findGoalCell machinery,
+        # common/AlignerManager.cpp:625-656).
+        aligner = make_aligner(backend, hb, cfg)
+        mgr = AlignerManager(aligner, params)
+        mgr.set_recurrence_type(Recurrence.NEEDLEMAN_WUNSCH)
+        mgr.set_first_row(row_init)
+        mgr.set_first_column(col_init)
+        mgr.track_best = goal_anywhere
+        mgr.last_column_wanted = want_rev_col
+        mgr.reverse_f0 = _border_f_value(col_init, hb, params)
+        mgr.set_goal_score(goal, base_row=(fwd_cut_h, fwd_cut_f))
+        aligner.set_sequences(rseq0, rseq1)
+        mgr.align_partition(Partition(0, 0, hb, width))
+        best, best_pq = mgr.best[0], (mgr.best[1], mgr.best[2])
+        rev_col = None
+        if want_rev_col and mgr.last_column is not None:
+            rev_col = (mgr.last_column[1], mgr.last_column[2])
+        mres = mgr.last_match_result
 
     # SW start detection: the pinned-state reverse matrix is bounded above
     # by the goal; best == goal locates the alignment start.
@@ -421,17 +372,6 @@ def reverse_pass_and_match(
         return ReverseMatch(None, start_found=True,
                             start=(ci - p, cj - q))
 
-    # Matching frame: index k runs j = cj - k for k in [0, width].
-    fwd_cut_h = np.asarray(fwd_h, np.int64)[j_low : cj + 1][::-1]
-    fwd_cut_f = np.asarray(fwd_f, np.int64)[j_low : cj + 1][::-1]
-    mres = match_column(
-        np.asarray(rev_last_h, np.int64),
-        np.asarray(rev_last_f, np.int64),
-        fwd_cut_h,
-        fwd_cut_f,
-        goal,
-        params.gap_open,
-    )
     if not mres.found:
         if mres.type in (MatchType.ERROR_SUM_MATCH, MatchType.ERROR_SUM_GAP) \
                 and j_low == 0 and not want_rev_col:
@@ -458,17 +398,6 @@ def _border_f_value(col_init: InitType, i: int, params: ScoreParams) -> int:
     if col_init == InitType.WITH_GAPS_OPENED:
         return -i * params.gap_ext
     return -params.gap_open - i * params.gap_ext
-
-
-def _np_best(rseq0, rseq1, params, row_init, col_init, goal):
-    """Best cell (with position) of a small reverse matrix via dp_rows'
-    SW-style tracking is wrong for NW values; recompute densely."""
-    res = oracle.dp_matrix(
-        rseq0, rseq1, params, Recurrence.NEEDLEMAN_WUNSCH,
-        row_init, col_init,
-    )
-    b, bi, bj = res.best()
-    return b, (bi, bj)
 
 
 def reverse_march(

@@ -90,7 +90,10 @@ def test_block_aligner_matches_oracle(rec, inits):
 
     row, lh, lf = mgr.last_row
     np.testing.assert_array_equal(lh, ref.h[-1])
-    np.testing.assert_array_equal(lf, ref.f[-1])
+    # element 0 carries the manager's synthesized border gap (the
+    # stage-2 matching convention, DESIGN.md), not the dense matrix's
+    # -INF placeholder
+    np.testing.assert_array_equal(lf[1:], ref.f[-1][1:])
     col, ch, ce = mgr.last_column
     np.testing.assert_array_equal(ch, ref.h[:, -1])
     # E of the last column: row 0's E is unrepresentable (-INF convention)
@@ -100,9 +103,15 @@ def test_block_aligner_matches_oracle(rec, inits):
         got = mgr.best_scores.best
         assert (got.score, got.i, got.j) == (b, bi, bj)
     # special rows at block-row boundaries
+    from masa_tpu.models.scoring import border_cells
+    from masa_tpu.stages.core import border_gap_values
+
+    col_h, _ = border_cells(m + 1, inits[1], params)
+    syn = border_gap_values(col_h.astype(np.int64), params)
     for r in store.rows():
         np.testing.assert_array_equal(store.get(r)[0], ref.h[r])
-        np.testing.assert_array_equal(store.get(r)[1], ref.f[r])
+        np.testing.assert_array_equal(store.get(r)[1][1:], ref.f[r][1:])
+        assert store.get(r)[1][0] == syn[r]
     assert len(store) >= 2
 
 
