@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     # multi-device
     p.add_argument("--split", default="0",
                    help="column-shard stage 1 over N devices")
+    p.add_argument("--fork", default=None,
+                   help="N or W1,..,Wn: run one worker PROCESS per "
+                        "weighted column slab, wired by localhost "
+                        "sockets + the shared-dir pool "
+                        "(fork_multi_process, libmasa.cpp:540-642)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "kernel"])
     p.add_argument("--test", action="store_true",
@@ -199,6 +204,27 @@ def main(argv=None) -> int:
         parser.error(f"--split: expected N or W1,..,Wn, got {args.split!r}")
     nonlocal_mode = (args.alignment_start != "*"
                      or args.alignment_end is not None)
+    if args.fork:
+        if nonlocal_mode:
+            parser.error(
+                "--fork only supports local alignment "
+                "(--alignment-start '*' and no --alignment-end)")
+        try:
+            fw = [float(x) for x in str(args.fork).split(",")]
+        except ValueError:
+            parser.error(f"--fork: expected N or W1,..,Wn, "
+                         f"got {args.fork!r}")
+        if len(fw) == 1:
+            fw = [1.0] * int(fw[0])
+        from masa_tpu.parallel.fork import run_fork
+
+        res = run_fork(seq0, seq1, fw, jcfg.work_dir, params,
+                       max_partition=args.maximum_partition)
+        print(f"alignment score: {res['score']}  "
+              f"({len(fw)} forked processes; matches={res['matches']} "
+              f"mismatches={res['mismatches']} "
+              f"gaps={res['gap_opens']}/{res['gap_extensions']})")
+        return 0
     if len(split_weights) > 1:
         if nonlocal_mode:
             parser.error(

@@ -425,7 +425,7 @@ def speculative_traceback(
     return all_cps, reused
 
 
-def run_split_processes(
+def run_split_threads(
     seq0: np.ndarray,
     seq1: np.ndarray,
     nparts: int,
@@ -434,9 +434,10 @@ def run_split_processes(
     backend: str = "scan",
     base_port: int = 7100,
 ) -> list[PartResult]:
-    """All parts as concurrent processes wired by localhost sockets (the
-    reference's fork_multi_process, libmasa.cpp:540-642) — here threads
-    stand in for forks (the compute releases the GIL inside XLA)."""
+    """All parts as concurrent THREADS in one JAX runtime, wired by real
+    localhost sockets — the in-process harness for the socket cell
+    streams.  For true one-runtime-per-slab processes (the reference's
+    fork_multi_process, libmasa.cpp:540-642) use parallel/fork.run_fork."""
     import threading
 
     points = split_points(len(seq1), [1.0] * nparts)

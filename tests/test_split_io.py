@@ -91,7 +91,7 @@ class TestColumnSplit:
     def test_socket_split_processes(self, dna, homolog):
         s0 = dna(600, seed=123)
         s1 = homolog(s0, seed=124)
-        parts = split.run_split_processes(s0, s1, 2, P, CFG,
+        parts = split.run_split_threads(s0, s1, 2, P, CFG,
                                           base_port=17910)
         ref = oracle.dp_rows(s0, s1, P)
         assert max(p.best for p in parts) == ref.best
