@@ -62,6 +62,10 @@ class Job:
         self._check_info(seq0_fingerprint, seq1_fingerprint)
         self.status = Status(self.path("status"))
         self.flush_intervals: list[int] = []
+        # areas are cached so RAM-placed special rows survive across
+        # stage boundaries within the process (the reference's Job owns
+        # its areas for the same reason, Job.cpp:202-211)
+        self._sra_areas: dict[str, SpecialRowsArea] = {}
 
     def path(self, *parts: str) -> str:
         return os.path.join(self.dir, *parts)
@@ -120,18 +124,21 @@ class Job:
         name = f"stage.{stage:02d}.{aln_id:02d}"
         if deep is not None:
             name += f".r{deep:02d}"
-        return SpecialRowsArea(
-            self.path("special_rows", name),
-            ram_limit=self.cfg.ram_limit,
-            disk_limit=self.cfg.disk_limit,
-            codec=self.cfg.sra_compression,
-        )
+        if name not in self._sra_areas:
+            self._sra_areas[name] = SpecialRowsArea(
+                self.path("special_rows", name),
+                ram_limit=self.cfg.ram_limit,
+                disk_limit=self.cfg.disk_limit,
+                codec=self.cfg.sra_compression,
+            )
+        return self._sra_areas[name]
 
     def clear_sra_area(self, stage: int, aln_id: int,
                        deep: int | None = None) -> None:
         name = f"stage.{stage:02d}.{aln_id:02d}"
         if deep is not None:
             name += f".r{deep:02d}"
+        self._sra_areas.pop(name, None)
         p = self.path("special_rows", name)
         if os.path.isdir(p):
             shutil.rmtree(p)

@@ -69,25 +69,43 @@ class SpecialRowsPartition:
 
     def __init__(self, dirpath: str, i0: int, j0: int, i1: int, j1: int,
                  ram_limit: int = 1 << 30, disk_limit: int = 1 << 40,
-                 codec: str = "none"):
+                 codec: str = "none",
+                 row_init: int | None = None, col_init: int | None = None):
         self.dir = dirpath
         self.i0, self.j0, self.i1, self.j1 = i0, j0, i1, j1
         self.ram_limit = ram_limit
         self.disk_limit = disk_limit
         self.codec = codec
+        # border init types (the reference encodes them in the
+        # C%08X.INIT_* / R%08X.INIT_* filenames,
+        # sra/SpecialRowsPartition.cpp:129-175) so a resumed traceback
+        # can rebuild the partition's init conditions without recompute
+        self.row_init = row_init
+        self.col_init = col_init
         self._ram: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._disk: set[int] = set()
         self._ram_bytes = 0
         self._disk_bytes = 0
         os.makedirs(dirpath, exist_ok=True)
+        self._load_meta()
         self._save_meta()
         self._scan()
+
+    def _load_meta(self):
+        meta = os.path.join(self.dir, "meta.json")
+        if self.row_init is None and os.path.exists(meta):
+            with open(meta) as f:
+                m = json.load(f)
+            self.row_init = m.get("row_init")
+            self.col_init = m.get("col_init")
 
     def _save_meta(self):
         tmp = os.path.join(self.dir, "meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"i0": self.i0, "j0": self.j0,
-                       "i1": self.i1, "j1": self.j1}, f)
+                       "i1": self.i1, "j1": self.j1,
+                       "row_init": self.row_init,
+                       "col_init": self.col_init}, f)
         os.replace(tmp, os.path.join(self.dir, "meta.json"))
 
     def _scan(self):
@@ -101,14 +119,26 @@ class SpecialRowsPartition:
     # --- SpecialRowStore protocol -----------------------------------
 
     def put(self, r: int, h: np.ndarray, f: np.ndarray) -> None:
+        """RAM-preferred proportional placement (the reference's counter
+        scheme, sra/SpecialRowsPartition.cpp:316-333): each row goes to
+        whichever store is proportionally LESS full (usage/limit), RAM on
+        ties — so RAM (fast resume reads) and disk (crash persistence)
+        fill at the rate their budgets allow, and the faster store is
+        exhausted first rather than last."""
         nbytes = 8 * len(h) + 20
-        if self._disk_bytes + nbytes <= self.disk_limit:
-            self._disk_bytes += write_row(self.dir, r, h, f, self.codec)
-            self._disk.add(r)
-        elif self._ram_bytes + nbytes <= self.ram_limit:
+        ram_fits = self._ram_bytes + nbytes <= self.ram_limit
+        disk_fits = self._disk_bytes + nbytes <= self.disk_limit
+        ram_frac = ((self._ram_bytes + nbytes) / self.ram_limit
+                    if self.ram_limit else 2.0)
+        disk_frac = ((self._disk_bytes + nbytes) / self.disk_limit
+                     if self.disk_limit else 2.0)
+        if ram_fits and (ram_frac <= disk_frac or not disk_fits):
             self._ram[r] = (np.asarray(h, np.int64),
                             np.asarray(f, np.int64))
             self._ram_bytes += nbytes
+        elif disk_fits:
+            self._disk_bytes += write_row(self.dir, r, h, f, self.codec)
+            self._disk.add(r)
         # else: dropped — the flush ladder sized the interval so this
         # cannot happen unless limits were lowered mid-run.
 
@@ -158,18 +188,35 @@ class SpecialRowsArea:
         self.ram_limit = ram_limit
         self.disk_limit = disk_limit
         self.codec = codec
+        # partition instances are cached so RAM-placed rows stay
+        # reachable for the whole process (fresh instances see only the
+        # disk rows, which is exactly the crash-resume semantics)
+        self._parts: dict[str, SpecialRowsPartition] = {}
         os.makedirs(dirpath, exist_ok=True)
 
     def _pname(self, i0, j0, i1, j1) -> str:
         return f"{i0:08X}.{j0:08X}.{i1:08X}.{j1:08X}"
 
-    def create_partition(self, i0, j0, i1, j1) -> SpecialRowsPartition:
-        return SpecialRowsPartition(
-            os.path.join(self.dir, self._pname(i0, j0, i1, j1)),
-            i0, j0, i1, j1,
-            ram_limit=self.ram_limit, disk_limit=self.disk_limit,
-            codec=self.codec,
-        )
+    def _open(self, name: str, m: dict) -> SpecialRowsPartition:
+        if name not in self._parts:
+            self._parts[name] = SpecialRowsPartition(
+                os.path.join(self.dir, name),
+                m["i0"], m["j0"], m["i1"], m["j1"],
+                ram_limit=self.ram_limit, disk_limit=self.disk_limit,
+                codec=self.codec,
+                row_init=m.get("row_init"), col_init=m.get("col_init"),
+            )
+        return self._parts[name]
+
+    def create_partition(self, i0, j0, i1, j1,
+                         row_init=None, col_init=None
+                         ) -> SpecialRowsPartition:
+        name = self._pname(i0, j0, i1, j1)
+        return self._open(name, {
+            "i0": i0, "j0": j0, "i1": i1, "j1": j1,
+            "row_init": int(row_init) if row_init is not None else None,
+            "col_init": int(col_init) if col_init is not None else None,
+        })
 
     def open_partition(self, i: int, j: int) -> SpecialRowsPartition | None:
         """Find the partition containing (i, j)
@@ -181,12 +228,7 @@ class SpecialRowsArea:
             with open(meta) as f:
                 m = json.load(f)
             if m["i0"] <= i <= m["i1"] and m["j0"] <= j <= m["j1"]:
-                return SpecialRowsPartition(
-                    os.path.join(self.dir, name),
-                    m["i0"], m["j0"], m["i1"], m["j1"],
-                    ram_limit=self.ram_limit, disk_limit=self.disk_limit,
-                    codec=self.codec,
-                )
+                return self._open(name, m)
         return None
 
     def partitions(self) -> list[SpecialRowsPartition]:
@@ -196,10 +238,5 @@ class SpecialRowsArea:
             if os.path.exists(meta):
                 with open(meta) as f:
                     m = json.load(f)
-                out.append(SpecialRowsPartition(
-                    os.path.join(self.dir, name),
-                    m["i0"], m["j0"], m["i1"], m["j1"],
-                    ram_limit=self.ram_limit, disk_limit=self.disk_limit,
-                    codec=self.codec,
-                ))
+                out.append(self._open(name, m))
         return out

@@ -169,14 +169,27 @@ def stage3_densify(
     pcfg: PipelineConfig,
     cps: list[Crosspoint],
     max_cells: int | None = None,
+    on_crosspoint=None,
 ) -> list[Crosspoint]:
     """Stage 3: recursively densify crosspoints until every partition fits
     `max_cells` (stage3/sw_stage3.cpp iteration loop, re-designed as
-    recursion with orientation flips for wide partitions)."""
+    recursion with orientation flips for wide partitions).
+
+    ``on_crosspoint`` fires for every DEFINITIVE crosspoint as each
+    input pair's segment completes (ascending path order, excluding
+    cps[0]) — the incremental autosave hook.  Emitted crosspoints are
+    final: a crash loses at most one in-flight pair and resumes by
+    densifying from the last emitted crosspoint (the reference instead
+    persists per-deep SRA areas, Job.cpp:202-211; emit-as-final is the
+    recursion redesign's equivalent)."""
     max_cells = max_cells or pcfg.max_cells_stage5
     out = [cps[0]]
     for c0, c1 in zip(cps, cps[1:]):
-        out.extend(_densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, 0))
+        seg = _densify_segment(seq0, seq1, pcfg, c0, c1, max_cells, 0)
+        if on_crosspoint:
+            for c in seg:
+                on_crosspoint(c)
+        out.extend(seg)
     return out
 
 

@@ -111,12 +111,13 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         except Exception:
             pass
 
+    row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
     area = job.sra_area(STAGE_1, 0)
-    part = area.open_partition(0, 0) or area.create_partition(0, 0, m, n)
+    part = area.open_partition(0, 0) or area.create_partition(
+        0, 0, m, n, row_init=row_init, col_init=col_init)
     r0 = part.last_row() or 0
     store = _OffsetStore(part, r0, job)
 
-    row_init, col_init = pipeline._mode_inits(pcfg.alignment_start)
     rec = pipeline._recurrence(pcfg.alignment_start)
     end = pipeline._effective_end(pcfg)
     want_lastcol = end in (AlignmentStart.SEQUENCE_1,
@@ -127,7 +128,13 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         log(f"stage1: resuming from special row {r0}")
         rh, rf = part.get(r0)
         first_row = (rh, rf)
-        ch, cg = border_cells(m + 1, col_init, job.cfg.params)
+        # rebuild init conditions from the partition's recorded border
+        # types (the reference encodes them per row/col file,
+        # SpecialRowsPartition.cpp:129-175) rather than trusting the
+        # resumed run's flags
+        saved_col = (InitType(part.col_init)
+                     if part.col_init is not None else col_init)
+        ch, cg = border_cells(m + 1, saved_col, job.cfg.params)
         first_col = (ch[r0:], cg[r0:])
         row_init = InitType.CUSTOM
         col_init_eff = InitType.CUSTOM
@@ -292,12 +299,14 @@ def stage3(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
 
     import os
 
+    prior: list[Crosspoint] = []   # ascending partial prefix on resume
     if os.path.exists(out_cpf.path):
         try:
             cps = out_cpf.load()
             if out_cpf.complete and cps:
                 log("stage3: already executed (resume)")
                 return cps
+            prior = cps
         except Exception:
             pass
 
@@ -318,8 +327,33 @@ def stage3(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
         max_cells = 1 << 30
     else:
         max_cells = None
-    cps = pipeline.stage3_densify(seq0, seq1, pcfg, cps,
-                                  max_cells=max_cells)
+
+    # mid-stage resume: a partial (END-less) file holds an ascending
+    # prefix of definitive crosspoints; densification continues from its
+    # last element (the reference resumes via per-deep SRA truncation,
+    # sra/SpecialRowsArea.cpp:79-93)
+    if prior and tuple(prior[0]) != tuple(cps[0]):
+        prior = []                  # stale partial from another chain
+    work = cps
+    if prior:
+        last = prior[-1]
+        work = [last] + [c for c in cps
+                         if (c.i, c.j) > (last.i, last.j)]
+        log(f"stage3: resuming mid-stage from ({last.i},{last.j})")
+    out_cpf.crosspoints = []
+    out_cpf.set_autosave()
+    for c in prior:
+        out_cpf.write(c)
+    if not prior:
+        out_cpf.write(cps[0])
+    densified = pipeline.stage3_densify(
+        seq0, seq1, pcfg, work, max_cells=max_cells,
+        on_crosspoint=out_cpf.write,
+    )
+    if out_cpf._fh:
+        out_cpf._fh.close()
+        out_cpf._fh = None
+    cps = prior + densified[1:] if prior else densified
     out_cpf.crosspoints = cps
     out_cpf.save()
     job.status.update(stage=STAGE_3)

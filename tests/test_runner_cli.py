@@ -104,6 +104,55 @@ class TestRunner:
         assert reread.complete
         assert [tuple(c) for c in cps2] == [tuple(c) for c in cps]
 
+    def test_stage3_midstage_crash_resume(self, dna, homolog, jobdir,
+                                          monkeypatch):
+        """Kill stage 3 after the first pair's densification: the rerun
+        must continue from the autosaved prefix and match a clean run."""
+        s0 = dna(700, seed=131)
+        s1 = homolog(s0, seed=132)
+        cfg = JobConfig(work_dir=jobdir, ram_limit=1 << 20,
+                        disk_limit=1 << 20, stage4_max_partition=0,
+                        backend="numpy", stage5_max_cells=1 << 12)
+        job = Job(cfg)
+        runner.stage1(job, s0, s1, log=lambda *a: None)
+        runner.stage2(job, s0, s1, log=lambda *a: None)
+
+        from masa_tpu.stages import pipeline as pl
+
+        orig = pl._densify_segment
+        calls = {"n": 0}
+
+        def dying(seq0, seq1, pcfg, c0, c1, max_cells, depth):
+            if depth == 0:
+                calls["n"] += 1
+                if calls["n"] > 1:
+                    raise KeyboardInterrupt("simulated crash")
+            return orig(seq0, seq1, pcfg, c0, c1, max_cells, depth)
+
+        monkeypatch.setattr(pl, "_densify_segment", dying)
+        with pytest.raises(KeyboardInterrupt):
+            runner.stage3(job, s0, s1, log=lambda *a: None)
+        monkeypatch.setattr(pl, "_densify_segment", orig)
+
+        cpf = job.crosspoints_file(runner.STAGE_3, 0)
+        partial = cpf.load()
+        assert not cpf.complete and len(partial) >= 2
+
+        job2 = Job(cfg)
+        msgs = []
+        cps = runner.stage3(job2, s0, s1, log=msgs.append)
+        assert any("resuming mid-stage" in m for m in msgs)
+
+        clean_cfg = JobConfig(work_dir=jobdir + ".clean",
+                              ram_limit=1 << 20, disk_limit=1 << 20,
+                              stage4_max_partition=0, backend="numpy",
+                              stage5_max_cells=1 << 12)
+        cjob = Job(clean_cfg)
+        runner.stage1(cjob, s0, s1, log=lambda *a: None)
+        runner.stage2(cjob, s0, s1, log=lambda *a: None)
+        clean = runner.stage3(cjob, s0, s1, log=lambda *a: None)
+        assert [tuple(c) for c in cps] == [tuple(c) for c in clean]
+
     def test_info_mismatch_detected(self, dna, jobdir):
         cfg = JobConfig(work_dir=jobdir)
         Job(cfg, "aaa", "bbb")
