@@ -18,6 +18,7 @@ from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import myers_miller as mm
 from masa_tpu.stages import core, pipeline, stage6 as st6
 from masa_tpu.types import (
+    INF,
     AlignmentStart,
     Crosspoint,
     CrosspointType,
@@ -141,7 +142,11 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     else:
         col_init_eff = col_init
 
+    # pinned endpoints (NW/semi-global) may legitimately be negative —
+    # the min-score admission filter only applies to SW candidates
     best = BestScoreList(job.cfg.max_alignments,
+                         min_score=(0 if rec == Recurrence.SMITH_WATERMAN
+                                    else -INF),
                          min_distance=job.cfg.best_score_distance)
     sink = None
     if job.cfg.max_alignments > 1 and rec == Recurrence.SMITH_WATERMAN:
