@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(fork_multi_process, libmasa.cpp:540-642)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "kernel"])
+    # multi-host: initialize the JAX distributed runtime before building
+    # the mesh (the DCN control plane; boundary columns still ride ICI)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=0)
     p.add_argument("--test", action="store_true",
                    help="run a built-in self-check (kernel vs oracle on "
                         "a random pair) and exit — the reference's "
@@ -263,9 +269,11 @@ def main(argv=None) -> int:
             parser.error(
                 "--split only supports local alignment "
                 "(--alignment-start '*' and no --alignment-end)")
-        from masa_tpu.parallel.mesh import make_mesh
+        from masa_tpu.parallel.mesh import initialize_distributed, make_mesh
         from masa_tpu.parallel.sharded import sharded_align, sharded_stage1
 
+        initialize_distributed(args.coordinator, args.num_hosts,
+                               args.host_id)
         nsh = int(split_weights[0])
         mesh = make_mesh(nsh)
         if args.stage_1 or args.no_flush:
