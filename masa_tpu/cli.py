@@ -87,7 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage-4-strategy", default="OPTIMIZED",
                    choices=["ORIGINAL_MM", "ORTHOGONAL", "OPTIMIZED"])
     p.add_argument("--output-format", default="text",
-                   choices=["text", "svg", "binary"])
+                   choices=["text", "svg", "histogram", "binary"],
+                   help="stage-6 renderer (binary = CGFF only, which "
+                        "stage 5 always writes)")
     # multi-device
     p.add_argument("--split", default="0",
                    help="column-shard stage 1 over N devices")

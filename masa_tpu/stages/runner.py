@@ -462,24 +462,20 @@ def stage5(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 def stage6(job: Job, seq0: np.ndarray, seq1: np.ndarray,
            aln: balign.Alignment, aln_id: int = 0, fmt: str = "text",
            log=print) -> str:
-    """Render + independent re-check (sw_stage6.cpp:992)."""
+    """Render via the format registry + independent re-check
+    (sw_stage6.cpp:992, stage6_formats[] :50-57)."""
     st6.recheck(aln, seq0, seq1, job.cfg.params)
-    if fmt == "text":
-        out = st6.render_text(aln, seq0, seq1)
-        path = job.path(f"alignment.{aln_id:02d}.txt")
-    else:
-        from masa_tpu.stages.svg import render_svg
+    blocks = None
+    bpath = job.path("blocks.00.bin")
+    import os as _os
 
-        blocks = None
-        bpath = job.path("blocks.00.bin")
-        import os as _os
+    if _os.path.exists(bpath):
+        from masa_tpu.core.blocks_file import BlocksFile
 
-        if _os.path.exists(bpath):
-            from masa_tpu.core.blocks_file import BlocksFile
-
-            blocks = BlocksFile.load(bpath)
-        out = render_svg(aln, len(seq0), len(seq1), blocks=blocks)
-        path = job.path(f"alignment.{aln_id:02d}.svg")
+        blocks = BlocksFile.load(bpath)
+    render = st6.FORMATS.get(fmt, st6.FORMATS["text"])
+    out, ext = render(aln, seq0, seq1, blocks=blocks)
+    path = job.path(f"alignment.{aln_id:02d}.{ext}")
     with open(path, "w") as f:
         f.write(out)
     job.status.update(stage=STAGE_6)

@@ -128,3 +128,86 @@ def render_text(
         f"GapExts: {aln.gap_extensions}"
     )
     return stats + "\n\n" + "\n".join(lines)
+
+
+def render_histogram(
+    aln: Alignment, seq0: np.ndarray, seq1: np.ndarray,
+    bins: int = 64, width: int = 800, height: int = 280,
+) -> str:
+    """Per-window identity histogram along the alignment as a standalone
+    SVG — the role of the reference's cairo histogram variant
+    (stage6/sw_stage6.cpp:263-989, off-by-default there).  One series
+    (identity %), one axis, single hue, thin gapped bars."""
+    s0 = expand_gapped(seq0, aln.start[0], aln.end[0], aln.gaps[0])
+    s1 = expand_gapped(seq1, aln.start[1], aln.end[1], aln.gaps[1])
+    L = len(s0)
+    bins = max(1, min(bins, L))
+    edges = np.linspace(0, L, bins + 1).astype(int)
+    ident = []
+    for b in range(bins):
+        a = s0[edges[b]:edges[b + 1]]
+        c = s1[edges[b]:edges[b + 1]]
+        n = max(len(a), 1)
+        ident.append(100.0 * float(
+            np.sum((a == c) & (a != GAP))) / n)
+
+    ml, mr, mt, mb = 52, 16, 34, 34          # margins
+    pw, ph = width - ml - mr, height - mt - mb
+    bw = pw / bins
+    bar_w = max(bw - 2.0, 1.0)               # 2px surface gap
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}" '
+        f'font-family="sans-serif">',
+        f'<rect width="{width}" height="{height}" fill="#ffffff"/>',
+        f'<text x="{ml}" y="20" font-size="13" fill="#1f2937">'
+        f'Alignment identity per window  '
+        f'(score {aln.raw_score}, {aln.matches} matches)</text>',
+    ]
+    # recessive gridlines + y-axis labels at 0/50/100%
+    for v in (0, 50, 100):
+        y = mt + ph * (1 - v / 100.0)
+        parts.append(
+            f'<line x1="{ml}" y1="{y:.1f}" x2="{ml + pw}" y2="{y:.1f}" '
+            f'stroke="#e5e7eb" stroke-width="1"/>')
+        parts.append(
+            f'<text x="{ml - 8}" y="{y + 4:.1f}" font-size="11" '
+            f'fill="#6b7280" text-anchor="end">{v}%</text>')
+    for b, v in enumerate(ident):
+        h = ph * v / 100.0
+        x = ml + b * bw + 1.0
+        y = mt + ph - h
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{bar_w:.1f}" '
+            f'height="{max(h, 0.5):.1f}" rx="1.5" fill="#3b6fd4"/>')
+    # x-axis: alignment-column positions
+    for frac in (0.0, 0.5, 1.0):
+        x = ml + pw * frac
+        parts.append(
+            f'<text x="{x:.1f}" y="{height - 10}" font-size="11" '
+            f'fill="#6b7280" text-anchor="middle">'
+            f'{int(L * frac):,}</text>')
+    parts.append('</svg>')
+    return "\n".join(parts)
+
+
+def _fmt_text(aln, seq0, seq1, blocks=None):
+    return render_text(aln, seq0, seq1), "txt"
+
+
+def _fmt_svg(aln, seq0, seq1, blocks=None):
+    from masa_tpu.stages.svg import render_svg
+
+    return render_svg(aln, len(seq0), len(seq1), blocks=blocks), "svg"
+
+
+def _fmt_histogram(aln, seq0, seq1, blocks=None):
+    return render_histogram(aln, seq0, seq1), "svg"
+
+
+# the output-format registry (stage6_formats[], stage6/sw_stage6.cpp:50-57)
+FORMATS = {
+    "text": _fmt_text,
+    "svg": _fmt_svg,
+    "histogram": _fmt_histogram,
+}

@@ -80,3 +80,25 @@ def test_svg_blocks_heatmap():
     out = render_svg(aln, 10, 10, blocks=grid)
     assert out.count("<rect") >= 32  # 4x8 heatmap + frame
     assert "#d9d9d9" in out  # pruned cells gray
+
+
+def test_stage6_histogram_format():
+    """The format registry's histogram renderer: well-formed single-hue
+    SVG with one bar per window and the score in the title."""
+    import numpy as np
+
+    from masa_tpu.ops import oracle
+    from masa_tpu.stages import pipeline, stage6
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s0 = rng.choice(bases, 400).astype(np.uint8)
+    s1 = s0.copy()
+    s1[::7] = bases[(np.arange(len(s1[::7])) % 4)]
+    aln = pipeline.align_pair(s0, s1)
+    out, ext = stage6.FORMATS["histogram"](aln, s0, s1)
+    assert ext == "svg"
+    assert out.startswith("<svg") and out.rstrip().endswith("</svg>")
+    assert out.count('rx="1.5"') == 64          # one bar per bin
+    assert f"score {aln.raw_score}" in out
+    assert set(stage6.FORMATS) == {"text", "svg", "histogram"}
