@@ -125,12 +125,15 @@ class TPUAligner(Aligner):
                                    p.j0 + col_off + bj + 1, s)
             return not mgr.must_continue()
 
-        # Per-strip score dispatch only when the manager wants every
-        # candidate (multi-alignment collection): the per-strip host
-        # round-trip breaks the fused-dispatch fast path, and with no
-        # consumer the end-of-partition dispatch suffices (the best is
-        # folded on-device).
-        if not mgr.want_all_scores:
+        # Per-strip score dispatch when the manager wants every candidate
+        # (multi-alignment collection), or for the mid-flight goal stop
+        # (stopAligner, AlignerManager.cpp:364) on partitions tall enough
+        # that halting early can win back the per-strip host sync the
+        # callback costs (the fused-dispatch fast path is disabled when a
+        # stop consumer exists).
+        goal_stop = (mgr.goal_score is not None and cfg.track_best
+                     and p.height >= 8 * cfg.rows)
+        if not (mgr.want_all_scores or goal_stop):
             stop = None
 
         blocks = None

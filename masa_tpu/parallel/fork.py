@@ -92,8 +92,30 @@ def worker_main(config_path: str) -> int:
 
     pool.dispatch_score(BestScore(*my_best))
 
-    # ---- stage 2: pipelined traceback, right to left -------------------
+    # ---- stage 2: traceback, right to left -----------------------------
     j0, j1 = points[k], points[k + 1]
+    slab = np.ascontiguousarray(seq1[j0:j1])
+
+    # speculative mode (TPDS2016, executeTracebackPredicted,
+    # libmasa.cpp:698-757): before blocking on the pipeline, march from
+    # the slab-LOCAL best; if the confirmed crosspoint later lands on a
+    # speculated one, the chain is spliced instead of recomputed.
+    spec: list | None = None
+    if (cfg.get("traceback") == "speculative" and not pool.is_last_node()
+            and part.best > 0 and j0 < part.best_j <= j1):
+        import copy
+
+        ep = Crosspoint(part.best_i, part.best_j - j0, part.best,
+                        CrosspointType.MATCH)
+        try:
+            spec = march_slab(
+                seq0, slab, params, ep, copy.deepcopy(part.specials),
+                part.first_col if k > 0 else None,
+                sw_anywhere=True, backend="auto", cfg=kcfg,
+            )
+        except RuntimeError:
+            spec = None      # failed speculation is discarded, never fatal
+
     my_cps: list[Crosspoint] = []
     if pool.is_last_node():
         gi, gj, gs = my_best
@@ -102,12 +124,18 @@ def worker_main(config_path: str) -> int:
         cp, final = pool.receive_crosspoint()
     if not final and j0 < cp.j <= j1:
         local_ep = Crosspoint(cp.i, cp.j - j0, cp.score, cp.type)
-        slab = np.ascontiguousarray(seq1[j0:j1])
+        known = {tuple(c) for c in spec} if spec else None
         local = march_slab(
             seq0, slab, params, local_ep, part.specials,
             part.first_col if k > 0 else None,
             sw_anywhere=True, backend="auto", cfg=kcfg,
+            known=known,
         )
+        if known and local and tuple(local[0]) in known:
+            # splice the speculated prefix (sw_stage2.cpp:151-182)
+            hit = next(i for i, c in enumerate(spec)
+                       if tuple(c) == tuple(local[0]))
+            local = spec[: hit + 1] + local[1:]
         my_cps = [Crosspoint(c.i, c.j + j0, c.score, c.type)
                   for c in local]
         first = my_cps[0]
@@ -186,6 +214,7 @@ def run_fork(
     devices: list[int] | None = None,
     extra_env: dict | None = None,
     platform: str | None = None,
+    traceback: str = "pipelined",
 ):
     """Spawn one worker process per slab and reap them
     (fork_multi_process + the wait loop, libmasa.cpp:540-642).
@@ -221,6 +250,7 @@ def run_fork(
             "timeout": timeout,
             "device": devices[k] if devices else None,
             "platform": platform,
+            "traceback": traceback,
         }
         if kernel_cfg is not None:
             cfg["kernel_cfg"] = {

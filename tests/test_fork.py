@@ -51,6 +51,19 @@ class TestForkProcesses:
         # every crosspoint lies in the left half of seq1
         assert all(c[1] <= len(s1) // 2 + 64 for c in res["crosspoints"])
 
+    def test_speculative_traceback_mode(self, dna, homolog, tmp_path):
+        """Predicted-traceback mode (TPDS2016 across processes): workers
+        speculate from their local bests before the pipeline reaches
+        them; the result must still be oracle-exact."""
+        s0 = dna(900, seed=128)
+        s1 = homolog(s0, seed=129)
+        ref = oracle.dp_rows(s0, s1, P)
+        res = run_fork(s0, s1, [1.0, 1.0, 1.0], str(tmp_path / "fw4"), P,
+                       base_port=7541, platform="cpu",
+                       traceback="speculative")
+        assert res["score"] == ref.best
+        assert res["crosspoints"][-1][2] == ref.best
+
     def test_worker_failure_detected(self, dna, tmp_path):
         """The wait-reaper must surface a dead worker instead of hanging
         (libmasa.cpp:605-630)."""
