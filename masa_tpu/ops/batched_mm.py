@@ -1,4 +1,4 @@
-"""Stage 4 on the TPU: level-batched Myers-Miller splitting.
+"""Stage 4 on the TPU: level-batched, device-resident Myers-Miller.
 
 The reference runs stage 4 on 4 CPU pthreads (stage4/sw_stage4.cpp:806)
 because its GPUs are busy elsewhere; on a single-host TPU system the
@@ -6,25 +6,25 @@ accelerator is the fast resource and the host may have ONE core.  This
 module re-designs the stage TPU-first:
 
   * Every adjacent crosspoint pair at a split level needs one forward and
-    one reverse NW half-pass.  ALL pairs of a level run as ONE
-    ``jax.vmap``-ed wavefront call per direction (per chained strip):
-    widths AND heights are traced scalars of the dynamic kernel
-    (``wf.strip_scan_dyn``), so a level is ~2-4 device dispatches and the
-    only compile key is (config, scan length) — a handful of compiles for
-    the whole stage, persisted by the compilation cache.
-  * Widths pad to a pow2 bucket with sentinel columns (exact: DP
-    dependencies never flow leftward, so padded columns cannot change
-    real-region values).  Heights chain over fixed-size strips; elements
-    that finished earlier keep their bus through a traced mask.
-  * Total work is ~4x the input area spread over log2(h/mps) levels —
-    seconds of TPU time where a scalar CPU path needs minutes.
-
-The split row is ANY interior row; snapping the top half to an
-8-per-octave bucket keeps the level hierarchy on few distinct heights —
-every distinct (config, width, height) of the per-pair Pallas path is a
-separate remote Mosaic compile.  (Crosspoints therefore may differ
-legally from the Python h//2 splitter; every result satisfies the
-stage-5 score-invariant contract.)
+    one reverse NW half-pass.  All pairs of a level run batched (vmapped
+    dynamic-shape scan) or as per-pair fused Pallas dispatches, chosen by
+    a measured cost model per level.
+  * **Device-resident data plane**: the four sequence views (seq0, seq1,
+    and their reverses) upload ONCE; every half-pass slices its strip
+    rows and column window on-device (`lax.dynamic_slice`), synthesizes
+    its pinned borders on-device from init-type codes, and the
+    Myers-Miller column matching runs on-device too — the only per-pair
+    traffic is a handful of scalars.  (The previous design uploaded
+    ~1-2 MB of packed strips/borders per half and pulled whole last rows;
+    at the tunnel's ~0.4 s/MB that dwarfed the compute.)
+  * Widths pad to a shared pow2 bucket per level with sentinel columns
+    (exact: DP dependencies never flow leftward, so padded columns cannot
+    change real-region values; rows below a half's height likewise only
+    read upward).  Heights chain over fixed-size strips.
+  * The split row snaps to an 8-per-octave bucket so the level hierarchy
+    reuses few distinct heights (each static Mosaic shape is a remote
+    compile).  Crosspoints may differ legally from the Python h//2
+    splitter; every result satisfies the stage-5 score invariant.
 """
 
 from __future__ import annotations
@@ -36,19 +36,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from masa_tpu.models.scoring import border_cells, match_column
+from masa_tpu.models.scoring import border_cells
 from masa_tpu.ops import wavefront as wf
 from masa_tpu.stages import core as score
 from masa_tpu.types import (
     INF,
     Crosspoint,
     CrosspointType,
+    InitType,
     MatchType,
     Recurrence,
     ScoreParams,
 )
 
 NEG = -INF
+
+_CODE = {
+    InitType.WITH_ZEROES: 0,
+    InitType.WITH_GAPS: 1,
+    InitType.WITH_GAPS_OPENED: 2,
+}
+
+
+def _border_h_dev(code, k, go: int, ge: int):
+    """Traced border synthesis (border_cells semantics): code 0 zeros,
+    1 gaps, 2 gaps-opened; k may be an array of border positions."""
+    k = jnp.asarray(k, jnp.int32)
+    gaps = jnp.where(k == 0, 0, -go - k * ge)
+    return jnp.where(code == 0, 0,
+                     jnp.where(code == 1, gaps, -k * ge)).astype(jnp.int32)
 
 
 # The dyn kernel is pure XLA (lax.scan), so tiny vector shapes are legal
@@ -74,31 +90,6 @@ def _mm_cfg(h_max: int) -> wf.WavefrontConfig:
         track_best=False, store_lastcol=False)
 
 
-@functools.lru_cache(maxsize=32)
-def _batched_strip(cfg: wf.WavefrontConfig, T: int):
-    """jit(vmap) of one chained strip of the dynamic kernel.  Per element:
-    h_rem (traced) is the element's remaining rows at this chain step;
-    finished elements (h_rem <= 0) pass their buses through unchanged.
-    Buses are returned LOGICALLY aligned (column j at index j)."""
-    R = cfg.rows
-    a = cfg.alpha
-
-    def one(a_lanes, b, bus_h, bus_f, init_h, init_e, corner, h_rem):
-        hs = jnp.clip(h_rem, 1, R)
-        ph, pf = wf.strip_scan_dyn(cfg, a_lanes, b, bus_h, bus_f, init_h,
-                                   init_e, corner, 0, hs, T=T)
-        lane = (hs - 1) // a
-        idx = jnp.arange(T, dtype=jnp.int32) + lane
-        safe = jnp.clip(idx, 0, T - 1)
-        lh = jnp.where(idx < T, ph[safe], NEG)
-        lf = jnp.where(idx < T, pf[safe], NEG)
-        keep = h_rem > 0
-        return (jnp.where(keep, lh, bus_h),
-                jnp.where(keep, lf, bus_f))
-
-    return jax.jit(jax.vmap(one))
-
-
 def _split_height(h: int) -> int:
     """Top-half height: ~h/2 rounded DOWN to an 8-per-octave bucket (in
     [1, h-1])."""
@@ -111,22 +102,159 @@ def _split_height(h: int) -> int:
 
 @dataclasses.dataclass
 class _Half:
-    """One half-pass request: NW last row of sub0 x sub1 with pinned
-    borders."""
+    """One half-pass request against the device-resident sequence views:
+    rows [i0, i0+h) x columns [j0, j0+w) of (seq0d, seq1d) — for reverse
+    halves the offsets index the REVERSED views."""
 
-    sub0: np.ndarray
-    sub1: np.ndarray
-    row_init: int
-    col_init: int
+    i0: int
+    h: int
+    j0: int
+    w: int
+    row_code: int
+    col_code: int
 
 
-# Measured constants of this environment (see CLAUDE.md): the batched
-# XLA scan costs ~22 us per (row-step x batch element); a per-pair Pallas
-# call costs ~0.35 s of dispatch+compute.  Choose per level by cost.
-_SCAN_S_PER_ROWSTEP = 22e-6
-_PALLAS_S_PER_CALL = 0.35
-# HBM bound for one batched-kernel call: B * plen * 4B * ~6 arrays
-_PALLAS_MAX_BYTES = 1 << 30
+class _DevSeqs:
+    """The four device-resident sequence views, sentinel-padded so any
+    (offset, static-size) slice is in bounds."""
+
+    def __init__(self, seq0: np.ndarray, seq1: np.ndarray,
+                 pad0: int, pad1: int):
+        self.m, self.n = len(seq0), len(seq1)
+
+        def up(x, sentinel, pad):
+            arr = np.full(len(x) + pad, sentinel, np.int32)
+            arr[: len(x)] = np.asarray(x, np.int32)
+            return jnp.asarray(arr)
+
+        self.s0f = up(seq0, wf.A_SENTINEL, pad0)
+        self.s0r = up(seq0[::-1], wf.A_SENTINEL, pad0)
+        self.s1f = up(seq1, wf.B_SENTINEL, pad1)
+        self.s1r = up(seq1[::-1], wf.B_SENTINEL, pad1)
+
+    def views(self, rev: bool):
+        return (self.s0r, self.s1r) if rev else (self.s0f, self.s1f)
+
+
+# ---------------------------------------------------------------------------
+# engines: both slice on-device and return LOGICAL (B, njq) last-row buses
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _dyn_engine(cfg: wf.WavefrontConfig, T: int, go: int, ge: int):
+    """vmapped chained strip of the dynamic kernel with on-device slicing.
+    Per element: traced (i0, j0, r0 local row, col_code, h_rem)."""
+    R = cfg.rows
+    a = cfg.alpha
+
+    def one(s0d, s1d, i0, j0, r0, col_code, bus_h, bus_f, h_rem):
+        hs = jnp.clip(h_rem, 1, R)
+        a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
+        a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
+        kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
+        ich = _border_h_dev(col_code, kk, go, ge)
+        ice = jnp.full(R, NEG, jnp.int32)
+        ih = wf.pack_lanes_jnp(cfg, ich)
+        ie = wf.pack_lanes_jnp(cfg, ice)
+        corner = _border_h_dev(col_code, r0, go, ge)
+        b = jax.lax.dynamic_slice(s1d, (j0,), (T,))
+        ph, pf = wf.strip_scan_dyn(cfg, a_lanes, b, bus_h, bus_f, ih, ie,
+                                   corner, 0, hs, T=T)
+        lane = (hs - 1) // a
+        idx = jnp.arange(T, dtype=jnp.int32) + lane
+        safe = jnp.clip(idx, 0, T - 1)
+        lh = jnp.where(idx < T, ph[safe], NEG)
+        lf = jnp.where(idx < T, pf[safe], NEG)
+        keep = h_rem > 0
+        return (jnp.where(keep, lh, bus_h),
+                jnp.where(keep, lf, bus_f))
+
+    return jax.jit(jax.vmap(
+        one, in_axes=(None, None, 0, 0, None, 0, 0, 0, 0)))
+
+
+@functools.lru_cache(maxsize=16)
+def _dyn_bus_init(T: int, go: int, ge: int):
+    def one(row_code):
+        j = jnp.arange(T, dtype=jnp.int32) + 1
+        return (_border_h_dev(row_code, j, go, ge),
+                jnp.full(T, NEG, jnp.int32))
+
+    return jax.jit(jax.vmap(one))
+
+
+# One device call must stay well under the remote service's execution
+# watchdog (a single vmapped scan of B x T row-steps that runs for
+# minutes gets the worker killed: "TPU worker process crashed").
+_MAX_ROWSTEPS_PER_CALL = 3_000_000
+
+
+def _halves_dyn(dev: _DevSeqs, halves: list[_Half], rev: bool,
+                params: ScoreParams, njq: int):
+    """All halves through the vmapped dyn engine; returns device
+    (B, njq) logical last-row buses."""
+    B = len(halves)
+    h_max = max(x.h for x in halves)
+    cfg = _mm_cfg(h_max)
+    T = cfg.steps(njq)
+    go, ge = params.gap_open, params.gap_ext
+    # watchdog bound applies per device call = one chained strip
+    b_cap = max(1, _MAX_ROWSTEPS_PER_CALL // max(T, 1))
+    if B > b_cap:
+        outs = []
+        for o in range(0, B, b_cap):
+            outs.append(_halves_dyn(dev, halves[o : o + b_cap], rev,
+                                    params, njq))
+        return (jnp.concatenate([x[0] for x in outs]),
+                jnp.concatenate([x[1] for x in outs]))
+
+    s0d, s1d = dev.views(rev)
+    i0s = jnp.asarray([x.i0 for x in halves], jnp.int32)
+    j0s = jnp.asarray([x.j0 for x in halves], jnp.int32)
+    ccodes = jnp.asarray([x.col_code for x in halves], jnp.int32)
+    rcodes = jnp.asarray([x.row_code for x in halves], jnp.int32)
+    heights = jnp.asarray([x.h for x in halves], jnp.int32)
+    bh, bf = _dyn_bus_init(T, go, ge)(rcodes)
+    fn = _dyn_engine(cfg, T, go, ge)
+    for s0r in range(0, h_max, cfg.rows):
+        bh, bf = fn(s0d, s1d, i0s, j0s, s0r, ccodes, bh, bf,
+                    heights - s0r)
+    return bh[:, :njq], bf[:, :njq]
+
+
+@functools.lru_cache(maxsize=128)
+def _pallas_step_sliced(cfg: wf.WavefrontConfig, njq: int, hk: int,
+                        go: int, ge: int):
+    """One fused Mosaic strip for a half: on-device slicing + border
+    synthesis + kernel + bus realignment, single dispatch.  Static keys:
+    (cfg, width bucket, strip height) — heights are 8-per-octave
+    bucketed, so the compile set stays small."""
+    plen = wf.padded_len(cfg, njq)
+    lane = (hk - 1) // cfg.alpha
+    R = cfg.rows
+
+    @functools.partial(jax.jit, donate_argnums=(6, 7))
+    def step(s0d, s1d, i0, j0, r0, col_code, bus_h, bus_f):
+        a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
+        a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
+        kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
+        ich = _border_h_dev(col_code, kk, go, ge)
+        ice = jnp.full(R, NEG, jnp.int32)
+        ih = wf.pack_lanes_jnp(cfg, ich)
+        ie = wf.pack_lanes_jnp(cfg, ice)
+        corner = _border_h_dev(col_code, r0, go, ge)
+        b = jax.lax.dynamic_slice(s1d, (j0,), (plen,))
+        out = wf.strip_pallas(cfg, a_lanes, b, bus_h, bus_f, ih, ie,
+                              corner, njq, hk)
+        fill = jnp.full(plen - njq, NEG, jnp.int32)
+        bh = jnp.concatenate([wf.slice_bus(cfg, out["bus_h"], njq, hk),
+                              fill])
+        bf = jnp.concatenate([wf.slice_bus(cfg, out["bus_f"], njq, hk),
+                              fill])
+        return bh, bf
+
+    return step
 
 
 def _pallas_mm_cfg(h: int):
@@ -142,240 +270,132 @@ def _pallas_mm_cfg(h: int):
         track_best=False, store_lastcol=False)
 
 
-@functools.lru_cache(maxsize=64)
-def _pallas_group_fn(cfg, njq: int, hk: int, B: int):
-    """One chained-strip step for a HEIGHT GROUP: the batched Mosaic
-    kernel + logical realignment, one dispatch for all B elements."""
-    import jax.numpy as jnp
+@functools.lru_cache(maxsize=16)
+def _pallas_bus_init(plen: int, go: int, ge: int):
+    def one(row_code):
+        j = jnp.arange(plen, dtype=jnp.int32) + 1
+        return (_border_h_dev(row_code, j, go, ge),
+                jnp.full(plen, NEG, jnp.int32))
 
-    plen = wf.padded_len(cfg, njq)
-    lane = (hk - 1) // cfg.alpha
-
-    def go(a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners):
-        ph, pf = wf.batched_strip_pallas(
-            cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners,
-            nj=njq, h_true=hk, B=B)
-        fill = jnp.full((B, lane), NEG, jnp.int32)
-        lh = jnp.concatenate([ph[:, lane:], fill], axis=1)
-        lf = jnp.concatenate([pf[:, lane:], fill], axis=1)
-        return lh, lf
-
-    return jax.jit(go)
+    return jax.jit(one)
 
 
-def _run_halves_per_pair(halves, params):
-    """Equal-height halves, one fused Pallas dispatch per (pair, chained
-    strip).  Independent pairs pipeline through async dispatch, which
-    measured FASTER than the grouped batched kernel below."""
-    import jax.numpy as jnp
-
-    h = len(halves[0].sub0)
+def _halves_pallas(dev: _DevSeqs, halves: list[_Half], rev: bool,
+                   params: ScoreParams, njq: int):
+    """Equal-height halves, one fused on-device-sliced Mosaic dispatch
+    per (half, chained strip).  Independent halves pipeline through async
+    dispatch, which measured FASTER than a grouped batched kernel (the
+    (B, chunks) grid serializes what async dispatch overlaps)."""
+    h = halves[0].h
+    assert all(x.h == h for x in halves)
     cfg = _pallas_mm_cfg(h)
     R = cfg.rows
-    out = []
+    go, ge = params.gap_open, params.gap_ext
+    plen = wf.padded_len(cfg, njq)
+    s0d, s1d = dev.views(rev)
+    init = _pallas_bus_init(plen, go, ge)
+    buses = []
     for hf in halves:
-        w = len(hf.sub1)
-        njq = max(cfg.chunk, 1 << (max(w, 1) - 1).bit_length())
-        plen = wf.padded_len(cfg, njq)
-        b = np.full(plen, wf.B_SENTINEL, np.int32)
-        b[:w] = np.asarray(hf.sub1, np.int32)
-        rh, _ = border_cells(w + 1, hf.row_init, params)
-        bh = np.full(plen, NEG, np.int32)
-        bf = np.full(plen, NEG, np.int32)
-        bh[:w] = rh[1:]
-        bh_d, bf_d = jnp.asarray(bh), jnp.asarray(bf)
-        b_d = jnp.asarray(b)
-        carry = (jnp.int32(0),) * 3
+        bh, bf = init(jnp.int32(hf.row_code))
         for s0r in range(0, h, R):
             hk = min(R, h - s0r)
-            a_lanes = jnp.asarray(wf.pack_strip_rows(
-                cfg, np.asarray(hf.sub0[s0r : s0r + hk], np.int32)))
-            ch, ce = border_cells(hk, hf.col_init, params, start=s0r + 1)
-            ihp, iep = wf.pack_border_cols(cfg, ch, ce)
-            ch0, _ = border_cells(1, hf.col_init, params, start=s0r)
-            bh_d, bf_d, carry = wf.strip_step(
-                cfg, a_lanes, jnp.asarray(ihp), jnp.asarray(iep),
-                int(ch0[0]), b_d, bh_d, bf_d, carry, 0, njq, False,
-                h_true=hk,
-            )
-        lh = np.empty(w + 1, np.int64)
-        lf = np.empty(w + 1, np.int64)
-        chb, _ = border_cells(h + 1, hf.col_init, params)
-        lh[0] = chb[h]
-        lf[0] = score._border_f_value(hf.col_init, h, params)
-        lh[1:] = np.asarray(bh_d[:w])
-        lf[1:] = np.asarray(bf_d[:w])
-        out.append((lh, lf))
-    return out
+            step = _pallas_step_sliced(cfg, njq, hk, go, ge)
+            bh, bf = step(s0d, s1d, jnp.int32(hf.i0), jnp.int32(hf.j0),
+                          jnp.int32(s0r), jnp.int32(hf.col_code), bh, bf)
+        buses.append((bh, bf))
+    return (jnp.stack([x[0][:njq] for x in buses]),
+            jnp.stack([x[1][:njq] for x in buses]))
 
 
-def _run_halves_pallas(halves, params):
-    """Equal-height halves through the BATCHED Mosaic kernel: one
-    dispatch per chained strip for the whole group.  Measured slower than
-    _run_halves_per_pair on the tunneled chip (async dispatch pipelines
-    pairs; the (B, chunks) grid serializes them) — kept as an available
-    engine."""
-    import jax.numpy as jnp
+# Measured constants of this environment (see CLAUDE.md): the batched
+# XLA scan costs ~22 us per (row-step x batch element); a per-pair Pallas
+# call costs ~0.35 s of dispatch+compute when fed from host, much less
+# device-resident — the constant stays conservative.
+_SCAN_S_PER_ROWSTEP = 22e-6
+_PALLAS_S_PER_CALL = 0.15
 
-    h = len(halves[0].sub0)
-    assert all(len(x.sub0) == h for x in halves)
-    cfg = _pallas_mm_cfg(h)
-    R = cfg.rows
+
+def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
+               njq: int):
+    """One level's halves -> device (B, njq) logical last-row buses,
+    engine chosen per level by the cost model."""
     B = len(halves)
-    w_max = max(len(x.sub1) for x in halves)
-    njq = max(cfg.chunk, 1 << (max(w_max, 1) - 1).bit_length())
-    plen = wf.padded_len(cfg, njq)
-
-    b_cap = max(1, _PALLAS_MAX_BYTES // (plen * 24))
-    if B > b_cap:
-        out = []
-        for o in range(0, B, b_cap):
-            out.extend(_run_halves_pallas(halves[o : o + b_cap], params))
-        return out
-
-    b_all = np.full((B, plen), wf.B_SENTINEL, np.int32)
-    bh = np.full((B, plen), NEG, np.int32)
-    bf = np.full((B, plen), NEG, np.int32)
-    for k, hf in enumerate(halves):
-        w = len(hf.sub1)
-        b_all[k, :w] = np.asarray(hf.sub1, np.int32)
-        rh, _ = border_cells(w + 1, hf.row_init, params)
-        bh[k, :w] = rh[1:]
-    b_d = jnp.asarray(b_all)
-    bh_d, bf_d = jnp.asarray(bh), jnp.asarray(bf)
-
-    for s0r in range(0, h, R):
-        hk = min(R, h - s0r)
-        a_all = np.empty((B, cfg.alpha, cfg.rs, 128), np.int32)
-        ih_all = np.empty_like(a_all)
-        ie_all = np.empty_like(a_all)
-        corners = np.zeros(B, np.int32)
-        for k, hf in enumerate(halves):
-            a_all[k] = wf.pack_strip_rows(
-                cfg, np.asarray(hf.sub0[s0r : s0r + hk], np.int32))
-            ch, ce = border_cells(hk, hf.col_init, params, start=s0r + 1)
-            ihp, iep = wf.pack_border_cols(cfg, ch, ce)
-            ih_all[k], ie_all[k] = ihp, iep
-            ch0, _ = border_cells(1, hf.col_init, params, start=s0r)
-            corners[k] = ch0[0]
-        fn = _pallas_group_fn(cfg, njq, hk, B)
-        bh_d, bf_d = fn(jnp.asarray(a_all), b_d, bh_d, bf_d,
-                        jnp.asarray(ih_all), jnp.asarray(ie_all),
-                        jnp.asarray(corners))
-
-    bh = np.asarray(bh_d)
-    bf = np.asarray(bf_d)
-    out = []
-    for k, hf in enumerate(halves):
-        w = len(hf.sub1)
-        lh = np.empty(w + 1, np.int64)
-        lf = np.empty(w + 1, np.int64)
-        chb, _ = border_cells(h + 1, hf.col_init, params)
-        lh[0] = chb[h]
-        lf[0] = score._border_f_value(hf.col_init, h, params)
-        lh[1:] = bh[k, :w]
-        lf[1:] = bf[k, :w]
-        out.append((lh, lf))
-    return out
-
-
-# One device call must stay well under the remote service's execution
-# watchdog (a single vmapped scan of B x T row-steps that runs for
-# minutes gets the worker killed: "TPU worker process crashed").
-_MAX_ROWSTEPS_PER_CALL = 3_000_000
-
-
-def _run_halves(halves: list[_Half], params: ScoreParams
-                ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Run a batch of half-passes (arbitrary heights/widths) in
-    ceil(max_h / R) device calls.  Returns per half the (w+1,) last-row
-    (H, F) with the synthesized border gap value at k=0."""
-    B = len(halves)
-    h_max = max(len(x.sub0) for x in halves)
-    import jax as _jax
-
+    h_max = max(x.h for x in halves)
     cfg0 = _mm_cfg(h_max)
-    w_max0 = max(len(x.sub1) for x in halves)
-    njq0 = max(128, 1 << (max(w_max0, 1) - 1).bit_length())
-    chains = -(-h_max // cfg0.rows)
-    per_elem = cfg0.steps(njq0) * chains
-    if _jax.default_backend() == "tpu":
-        # Per-pair Pallas when the batched scan would be slower.  (A
-        # grouped batched Mosaic kernel — wf.batched_strip_pallas — was
-        # measured SLOWER end-to-end than per-pair calls here: async
-        # dispatch pipelines independent pairs, while the (B, chunks)
-        # grid serializes them; the primitive is kept for future use.)
+    per_elem = cfg0.steps(njq) * -(-h_max // cfg0.rows)
+    if jax.default_backend() == "tpu":
         est_batched = B * per_elem * _SCAN_S_PER_ROWSTEP
         est_pallas = B * max(1, -(-h_max // 131072)) * _PALLAS_S_PER_CALL
         if est_pallas < est_batched:
             by_h: dict[int, list[int]] = {}
             for i, hf in enumerate(halves):
-                by_h.setdefault(len(hf.sub0), []).append(i)
-            rows: list = [None] * B
+                by_h.setdefault(hf.h, []).append(i)
+            bh_all = [None] * B
+            bf_all = [None] * B
             for hgrp, idxs in by_h.items():
                 grp = [halves[i] for i in idxs]
-                for i, row in zip(idxs,
-                                  _run_halves_per_pair(grp, params)):
-                    rows[i] = row
-            return rows
+                bh, bf = _halves_pallas(dev, grp, rev, params, njq)
+                for r, i in enumerate(idxs):
+                    bh_all[i] = bh[r]
+                    bf_all[i] = bf[r]
+            return jnp.stack(bh_all), jnp.stack(bf_all)
+    return _halves_dyn(dev, halves, rev, params, njq)
 
-    # bound the duration of a single vmapped call
-    b_cap = max(1, _MAX_ROWSTEPS_PER_CALL // max(per_elem, 1))
-    if B > b_cap:
-        out = []
-        for o in range(0, B, b_cap):
-            out.extend(_run_halves(halves[o : o + b_cap], params))
-        return out
-    cfg = cfg0
-    R = cfg.rows
-    # pow2 width bucket: the scan length is the only shape compile key
-    njq = njq0
-    T = cfg.steps(njq)
 
-    b_all = np.full((B, T), wf.B_SENTINEL, np.int32)
-    bh = np.full((B, T), NEG, np.int32)
-    bf = np.full((B, T), NEG, np.int32)
-    for k, hf in enumerate(halves):
-        w = len(hf.sub1)
-        rh, _ = border_cells(w + 1, hf.row_init, params)
-        b_all[k, :w] = np.asarray(hf.sub1, np.int32)
-        bh[k, :w] = rh[1:]
+# ---------------------------------------------------------------------------
+# on-device Myers-Miller matching (AlignerUtils::matchColumn, vmapped)
+# ---------------------------------------------------------------------------
 
-    heights = np.array([len(x.sub0) for x in halves], np.int32)
-    fn = _batched_strip(cfg, T)
-    for s0r in range(0, h_max, R):
-        a_all = np.empty((B, cfg.alpha, cfg.rs, 128), np.int32)
-        ih_all = np.empty_like(a_all)
-        ie_all = np.empty_like(a_all)
-        corners = np.zeros(B, np.int32)
-        for k, hf in enumerate(halves):
-            hk = min(max(len(hf.sub0) - s0r, 0), R)
-            a_all[k] = wf.pack_strip_rows(
-                cfg, np.asarray(hf.sub0[s0r : s0r + hk], np.int32))
-            ch, ce = border_cells(max(hk, 1), hf.col_init, params,
-                                  start=s0r + 1)
-            ihp, iep = wf.pack_border_cols(cfg, ch, ce)
-            ih_all[k], ie_all[k] = ihp, iep
-            ch0, _ = border_cells(1, hf.col_init, params, start=s0r)
-            corners[k] = ch0[0]
-        bh, bf = fn(a_all, b_all, bh, bf, ih_all, ie_all, corners,
-                    heights - s0r)
-    bh = np.asarray(bh)
-    bf = np.asarray(bf)
 
-    out = []
-    for k, hf in enumerate(halves):
-        h = len(hf.sub0)
-        w = len(hf.sub1)
-        lh = np.empty(w + 1, np.int64)
-        lf = np.empty(w + 1, np.int64)
-        ch, _ = border_cells(h + 1, hf.col_init, params)
-        lh[0] = ch[h]
-        lf[0] = score._border_f_value(hf.col_init, h, params)
-        lh[1:] = bh[k, :w]
-        lf[1:] = bf[k, :w]
-        out.append((lh, lf))
-    return out
+@functools.lru_cache(maxsize=16)
+def _match_engine(njq: int, go: int):
+    """Per pair: match the reverse half's last row against the forward
+    half's (reversed), exactly reproducing models.scoring.match_column
+    over k = 0..w.  Returns int32 (found, k, score, type) with type in
+    {0 aligned, 1 gapped, 2 err-sum-match, 3 err-sum-gap}."""
+    W1 = njq + 1
+
+    def one(fh, ff, rh, rf, fwd0, rev0, w, goal):
+        k = jnp.arange(W1, dtype=jnp.int32)
+        # full rev row: k=0 is the rev border element (lh0, lf0)
+        rhs = jnp.concatenate([rev0[0:1], rh]).astype(jnp.int32)
+        rfs = jnp.concatenate([rev0[1:2], rf]).astype(jnp.int32)
+        # full fwd row, then reversed so index k reads fwd[w - k]:
+        # pad the flipped row with NEG and take a (W1,) window at njq - w
+        fhs = jnp.concatenate([fwd0[0:1], fh]).astype(jnp.int32)
+        ffs = jnp.concatenate([fwd0[1:2], ff]).astype(jnp.int32)
+        pad = jnp.full(W1, NEG, jnp.int32)
+        fh_r = jax.lax.dynamic_slice(
+            jnp.concatenate([jnp.flip(fhs), pad]), (W1 - 1 - w,), (W1,))
+        ff_r = jax.lax.dynamic_slice(
+            jnp.concatenate([jnp.flip(ffs), pad]), (W1 - 1 - w,), (W1,))
+        valid = k <= w
+        sum_m = fh_r + rhs
+        sum_g = ff_r + rfs + go
+        hit = ((sum_m == goal) | (sum_g == goal)) & valid
+        over = ((sum_m > goal) | (sum_g > goal)) & valid
+        stop = hit | over
+        big = jnp.int32(W1)
+        idx = jnp.where(stop, k, big).min()
+        found = idx < big
+        idx_c = jnp.clip(idx, 0, W1 - 1)
+        m_at = sum_m[idx_c] == goal
+        g_at = sum_g[idx_c] == goal
+        is_hit = found & (m_at | g_at)
+        typ = jnp.where(
+            is_hit,
+            jnp.where(m_at, 0, 1),
+            jnp.where(sum_m[idx_c] > goal, 2, 3),
+        )
+        scr = jnp.where(m_at, fh_r[idx_c], ff_r[idx_c])
+        return (is_hit.astype(jnp.int32), idx_c, scr, typ)
+
+    return jax.jit(jax.vmap(one))
+
+
+# ---------------------------------------------------------------------------
+# the reduce loop
+# ---------------------------------------------------------------------------
 
 
 def reduce_partitions_batched(
@@ -388,10 +408,17 @@ def reduce_partitions_batched(
     batch_cap: int = 1024,
 ) -> list[Crosspoint]:
     """Split every adjacent pair until max(height, width) <= max_partition,
-    batching all half-passes of a level into a few device calls.
-    `batch_cap` bounds device memory ((B, T) int32 buffers)."""
+    batching all half-passes of a level into a few device dispatches with
+    a device-resident data plane.  `batch_cap` bounds device memory."""
     seq0 = np.asarray(seq0, np.uint8)
     seq1 = np.asarray(seq1, np.uint8)
+    go, ge = params.gap_open, params.gap_ext
+
+    w_max0 = max((c1.j - c0.j for c0, c1 in zip(cps, cps[1:])), default=1)
+    njq_max = max(128, 1 << (max(w_max0, 1) - 1).bit_length())
+    # any engine's slice is j0 + padded_len(cfg, njq<=njq_max) with
+    # j0 <= n; 64K covers every ladder's chunk/lane padding
+    dev = _DevSeqs(seq0, seq1, pad0=131072 + 8, pad1=njq_max + 65536)
 
     done: list[tuple[Crosspoint, Crosspoint]] = []
     work = list(zip(cps, cps[1:]))
@@ -408,54 +435,66 @@ def reduce_partitions_batched(
             break
         level += 1
 
+        m, n = dev.m, dev.n
         meta = []
         fwd_halves = []
         rev_halves = []
         for c0, c1 in pending:
             h = c1.i - c0.i
+            w = c1.j - c0.j
             rm = c0.i + _split_height(h)
             meta.append((c0, c1, rm))
             ri, ci = score.init_types_for(c0.type)
-            fwd_halves.append(_Half(
-                np.ascontiguousarray(seq0[c0.i : rm]),
-                np.ascontiguousarray(seq1[c0.j : c1.j]), ri, ci))
+            fwd_halves.append(_Half(c0.i, rm - c0.i, c0.j, w,
+                                    _CODE[ri], _CODE[ci]))
             ri, ci = score.init_types_for(c1.type)
-            rev_halves.append(_Half(
-                np.ascontiguousarray(seq0[rm : c1.i][::-1]),
-                np.ascontiguousarray(seq1[c0.j : c1.j][::-1]), ri, ci))
+            rev_halves.append(_Half(m - c1.i, c1.i - rm, n - c1.j, w,
+                                    _CODE[ri], _CODE[ci]))
 
-        def run_capped(halves):
-            rows = []
-            for o in range(0, len(halves), batch_cap):
-                rows.extend(_run_halves(halves[o : o + batch_cap],
-                                        params))
-            return rows
-
-        fwd_rows = run_capped(fwd_halves)
-        rev_rows = run_capped(rev_halves)
+        njq = max(128, 1 << (max(x.w for x in fwd_halves) - 1)
+                  .bit_length())
 
         next_work = []
-        for (c0, c1, rm), (fh, ff), (rh, rf) in zip(meta, fwd_rows,
-                                                    rev_rows):
-            goal = c1.score - c0.score + (
-                params.gap_open if c1.type != CrosspointType.MATCH else 0
-            )
-            # descending-j scan (same as myers_miller.split_partition:
-            # rev rows indexed by c1.j - j are already descending in j)
-            mres = match_column(
-                rh, rf, fh[::-1], ff[::-1],
-                goal, params.gap_open,
-            )
-            if not mres.found:
-                raise RuntimeError(
-                    f"batched Myers-Miller lost the path in {c0}->{c1}"
-                )
-            j_star = c1.j - mres.k
-            t = (CrosspointType.MATCH if mres.type == MatchType.ALIGNED
-                 else CrosspointType.GAP_2)
-            cm = Crosspoint(rm, j_star, c0.score + int(mres.score), t)
-            next_work.append((c0, cm))
-            next_work.append((cm, c1))
+        for off in range(0, len(pending), batch_cap):
+            sl = slice(off, off + batch_cap)
+            fh, ff = _run_level(dev, fwd_halves[sl], False, params, njq)
+            rh, rf = _run_level(dev, rev_halves[sl], True, params, njq)
+
+            mm_meta = meta[sl]
+            fwd0 = np.empty((len(mm_meta), 2), np.int32)
+            rev0 = np.empty((len(mm_meta), 2), np.int32)
+            ws = np.empty(len(mm_meta), np.int32)
+            goals = np.empty(len(mm_meta), np.int32)
+            for r, ((c0, c1, rm), hf, hr) in enumerate(
+                    zip(mm_meta, fwd_halves[sl], rev_halves[sl])):
+                cif = InitType(_code_inv(hf.col_code))
+                cir = InitType(_code_inv(hr.col_code))
+                chf, _ = border_cells(1, cif, params, start=hf.h)
+                chr_, _ = border_cells(1, cir, params, start=hr.h)
+                fwd0[r] = (chf[0],
+                           score._border_f_value(cif, hf.h, params))
+                rev0[r] = (chr_[0],
+                           score._border_f_value(cir, hr.h, params))
+                ws[r] = hf.w
+                goals[r] = c1.score - c0.score + (
+                    go if c1.type != CrosspointType.MATCH else 0)
+
+            res = np.asarray(_match_engine(njq, go)(
+                fh, ff, rh, rf, jnp.asarray(fwd0), jnp.asarray(rev0),
+                jnp.asarray(ws), jnp.asarray(goals)))
+            found, idxs, scrs, typs = (res[0], res[1], res[2], res[3])
+            for r, (c0, c1, rm) in enumerate(mm_meta):
+                if not found[r]:
+                    raise RuntimeError(
+                        f"batched Myers-Miller lost the path in "
+                        f"{c0}->{c1} (err type {int(typs[r])})"
+                    )
+                j_star = c1.j - int(idxs[r])
+                t = (CrosspointType.MATCH if int(typs[r]) == 0
+                     else CrosspointType.GAP_2)
+                cm = Crosspoint(rm, j_star, c0.score + int(scrs[r]), t)
+                next_work.append((c0, cm))
+                next_work.append((cm, c1))
         if log:
             log(f"stage4[batched]: level {level}: {len(pending)} pairs")
         work = next_work
@@ -464,3 +503,10 @@ def reduce_partitions_batched(
     done.sort(key=lambda p: (p[0].i, p[0].j))
     out = [cps[0]] + [c1 for _, c1 in done]
     return out
+
+
+def _code_inv(code: int) -> InitType:
+    for k, v in _CODE.items():
+        if v == code:
+            return k
+    raise ValueError(code)

@@ -197,8 +197,27 @@ def run_partition(
 
         # ---- grouped fast path: scan N full strips in ONE dispatch ----
         # (no per-strip host consumer; the tunnel charges ~10-30 ms per
-        # op dispatch, so chaining strips host-side wastes seconds)
-        if (backend == "pallas" and hs == R and not prune
+        # op dispatch, so chaining strips host-side wastes seconds).
+        # Under pruning, the fused path still runs while the window
+        # covers >= 3/4 of the chunks — slicing a near-full window buys
+        # nothing and costs per-strip syncs + per-window-bucket kernel
+        # compiles; the windowed path below takes over once the window
+        # genuinely narrows.
+        wide = True
+        if (prune and backend == "pallas" and hs == R
+                and first_col_reader is None and not cfg.store_lastcol
+                and stop_check is None and blocks_sink is None
+                and not cfg.interpret):
+            if dev_best is not None:
+                best = int(dev_best[0])
+            busmax0 = np.asarray(wf.chunk_max_device(bus_h, ng, C))
+            ich0, _ = _border_vec(col_init, params, 1, i0 + 1, first_col)
+            wl0, wr0 = pruning.pruning_window(
+                busmax0, best, i0, m, nj_out, C, params,
+                border_max=int(ich0.max()),
+            )
+            wide = wl0 < wr0 and (wr0 - wl0) * 4 >= ng * 3
+        if (backend == "pallas" and hs == R and (not prune or wide)
                 and first_col_reader is None and not cfg.store_lastcol
                 and stop_check is None and blocks_sink is None
                 and not cfg.interpret):
@@ -206,6 +225,9 @@ def run_partition(
             if special_every:
                 nb = ((i0 // special_every) + 1) * special_every
                 g = min(g, (nb - i0) // R)
+            if prune:
+                # reconsider the window at least every 8 strips
+                g = min(g, 8)
             if g >= 1:
                 if cfg.track_best and not two_phase and dev_best is None:
                     dev_best = (jnp.int32(best), jnp.int32(best_i),
