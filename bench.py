@@ -112,18 +112,27 @@ def main():
         fm = m if on_tpu else 1024  # CPU fallback is a smoke run only
         h1 = homolog(np.random.default_rng(1), s0[:fm],
                      indel_every=1 << (16 if on_tpu else 9))
-        wd = tempfile.mkdtemp(prefix="masa_bench_")
-        try:
-            jcfg = JobConfig(work_dir=wd, params=params)
-            job = Job(jcfg)
-            t0 = time.time()
-            aln = runner.align_job(job, s0[:fm], h1,
-                                   log=lambda *a, **k: None)
-            full_s = time.time() - t0
-            full_gcups = fm * len(h1) / full_s / 1e9
-            full_score = aln.raw_score
-        finally:
-            shutil.rmtree(wd, ignore_errors=True)
+        # two runs: the first also pays per-process kernel cache loads
+        # (~15 s per distinct Mosaic shape); the steady-state number is
+        # the comparable one (the reference's published times are
+        # steady-state too) — the cold time is kept in detail
+        full_cold = None
+        for attempt in range(2 if on_tpu else 1):
+            wd = tempfile.mkdtemp(prefix="masa_bench_")
+            try:
+                jcfg = JobConfig(work_dir=wd, params=params)
+                job = Job(jcfg)
+                t0 = time.time()
+                aln = runner.align_job(job, s0[:fm], h1,
+                                       log=lambda *a, **k: None)
+                fdt = time.time() - t0
+                if full_cold is None:
+                    full_cold = fdt
+                full_s = fdt if full_s is None else min(full_s, fdt)
+                full_score = aln.raw_score
+            finally:
+                shutil.rmtree(wd, ignore_errors=True)
+        full_gcups = fm * len(h1) / full_s / 1e9
 
     print(json.dumps({
         "metric": "stage1_sw_gcups_1chip",
@@ -137,6 +146,8 @@ def main():
             "device": str(jax.devices()[0]),
             "full_alignment_s": (round(full_s, 2)
                                  if full_s is not None else None),
+            "full_alignment_cold_s": (round(full_cold, 2)
+                                      if run_full else None),
             "full_gcups": (round(full_gcups, 2)
                            if full_gcups is not None else None),
             "full_score": full_score,

@@ -257,16 +257,21 @@ def _pallas_step_sliced(cfg: wf.WavefrontConfig, njq: int, hk: int,
     return step
 
 
-def _pallas_mm_cfg(h: int):
+def _pallas_mm_cfg(h: int, njq: int):
+    """Cost-aware ladder choice: the kernel computes ALL R strip rows
+    regardless of h_true, so covering h with one oversized strip can
+    waste up to ~6x compute vs chaining a smaller rung; weigh computed
+    cells (~150 GCUPS) against per-dispatch latency (~20 ms)."""
     from masa_tpu.stages.core import _TPU_LADDER
 
-    base = _TPU_LADDER[-1]
+    best, best_cost = None, None
     for c in _TPU_LADDER:
-        if c.rows >= h:
-            base = c
-            break
+        chains = -(-h // c.rows)
+        cost = chains * (c.rows * njq / 150e9 + 0.02)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
     return dataclasses.replace(
-        base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+        best, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
         track_best=False, store_lastcol=False)
 
 
@@ -288,7 +293,7 @@ def _halves_pallas(dev: _DevSeqs, halves: list[_Half], rev: bool,
     (B, chunks) grid serializes what async dispatch overlaps)."""
     h = halves[0].h
     assert all(x.h == h for x in halves)
-    cfg = _pallas_mm_cfg(h)
+    cfg = _pallas_mm_cfg(h, njq)
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext
     plen = wf.padded_len(cfg, njq)
@@ -307,38 +312,106 @@ def _halves_pallas(dev: _DevSeqs, halves: list[_Half], rev: bool,
             jnp.stack([x[1][:njq] for x in buses]))
 
 
-# Measured constants of this environment (see CLAUDE.md): the batched
-# XLA scan costs ~22 us per (row-step x batch element); a per-pair Pallas
-# call costs ~0.35 s of dispatch+compute when fed from host, much less
-# device-resident — the constant stays conservative.
-_SCAN_S_PER_ROWSTEP = 22e-6
-_PALLAS_S_PER_CALL = 0.15
+@functools.lru_cache(maxsize=64)
+def _mosaic_prep(cfg: wf.WavefrontConfig, njq: int, go: int, ge: int):
+    """vmapped on-device prep for the batched Mosaic kernel: per element
+    slice the strip chars, synthesize the pinned column border, pack to
+    the lane layout — ONE dispatch for the whole batch."""
+    plen = wf.padded_len(cfg, njq)
+    R = cfg.rows
+
+    def one(s0d, s1d, i0, j0, r0, col_code):
+        a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
+        a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
+        kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
+        ih = wf.pack_lanes_jnp(cfg, _border_h_dev(col_code, kk, go, ge))
+        ie = wf.pack_lanes_jnp(cfg, jnp.full(R, NEG, jnp.int32))
+        corner = _border_h_dev(col_code, r0, go, ge)
+        b = jax.lax.dynamic_slice(s1d, (j0,), (plen,))
+        return a_lanes, ih, ie, corner, b
+
+    return jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0, None, 0)))
+
+
+@functools.lru_cache(maxsize=64)
+def _mosaic_step(cfg: wf.WavefrontConfig, njq: int, hk: int, B: int):
+    """One chained-strip step for a whole batch as ONE Mosaic dispatch
+    (grid (B, chunks)), plus the logical bus realignment."""
+    plen = wf.padded_len(cfg, njq)
+    lane = (hk - 1) // cfg.alpha
+
+    @jax.jit
+    def step(a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners):
+        ph, pf = wf.batched_strip_pallas(
+            cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners,
+            nj=njq, h_true=hk, B=B)
+        fill = jnp.full((B, lane), NEG, jnp.int32)
+        lh = jnp.concatenate([ph[:, lane:], fill], axis=1)
+        lf = jnp.concatenate([pf[:, lane:], fill], axis=1)
+        return lh, lf
+
+    return step
+
+
+def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
+                   params: ScoreParams, njq: int):
+    """Equal-height halves as ONE batched Mosaic dispatch per chained
+    strip — the engine for deep levels where hundreds of small pairs
+    would otherwise cost a dispatch each.  B pads to a pow2 bucket
+    (bounded compile variety; padded elements replay element 0)."""
+    h = halves[0].h
+    assert all(x.h == h for x in halves)
+    cfg = _pallas_mm_cfg(h, njq)
+    R = cfg.rows
+    go, ge = params.gap_open, params.gap_ext
+    plen = wf.padded_len(cfg, njq)
+    Bb = 1 << (len(halves) - 1).bit_length()
+    pad = [halves[0]] * (Bb - len(halves))
+    grp = list(halves) + pad
+    s0d, s1d = dev.views(rev)
+    i0s = jnp.asarray([x.i0 for x in grp], jnp.int32)
+    j0s = jnp.asarray([x.j0 for x in grp], jnp.int32)
+    ccodes = jnp.asarray([x.col_code for x in grp], jnp.int32)
+    rcodes = jnp.asarray([x.row_code for x in grp], jnp.int32)
+    bh, bf = _dyn_bus_init(plen, go, ge)(rcodes)
+    prep = _mosaic_prep(cfg, njq, go, ge)
+    for s0r in range(0, h, R):
+        hk = min(R, h - s0r)
+        a_all, ih_all, ie_all, corners, b_all = prep(
+            s0d, s1d, i0s, j0s, jnp.int32(s0r), ccodes)
+        bh, bf = _mosaic_step(cfg, njq, hk, Bb)(
+            a_all, b_all, bh, bf, ih_all, ie_all, corners)
+    return bh[: len(halves), :njq], bf[: len(halves), :njq]
+
+
+# Engine choice, measured on the tunneled v5e (warm, forced completion):
+# the batched Mosaic kernel sustains ~0.3-0.6 s per level call across
+# every level shape from (B=8, h=65536) to (B=512, h=1024); the vmapped
+# dyn scan only wins for the tiniest levels (sub-strip heights, huge B),
+# and per-pair dispatches tie Mosaic at B<=8 without beating it.
+_DYN_H_MAX = 256
 
 
 def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
                njq: int):
-    """One level's halves -> device (B, njq) logical last-row buses,
-    engine chosen per level by the cost model."""
+    """One level's halves -> device (B, njq) logical last-row buses.
+    TPU: the batched Mosaic engine, except tiny levels (h <= 256) where
+    the vmapped dynamic scan's single XLA dispatch wins.  CPU: dyn."""
     B = len(halves)
     h_max = max(x.h for x in halves)
-    cfg0 = _mm_cfg(h_max)
-    per_elem = cfg0.steps(njq) * -(-h_max // cfg0.rows)
-    if jax.default_backend() == "tpu":
-        est_batched = B * per_elem * _SCAN_S_PER_ROWSTEP
-        est_pallas = B * max(1, -(-h_max // 131072)) * _PALLAS_S_PER_CALL
-        if est_pallas < est_batched:
-            by_h: dict[int, list[int]] = {}
-            for i, hf in enumerate(halves):
-                by_h.setdefault(hf.h, []).append(i)
-            bh_all = [None] * B
-            bf_all = [None] * B
-            for hgrp, idxs in by_h.items():
-                grp = [halves[i] for i in idxs]
-                bh, bf = _halves_pallas(dev, grp, rev, params, njq)
-                for r, i in enumerate(idxs):
-                    bh_all[i] = bh[r]
-                    bf_all[i] = bf[r]
-            return jnp.stack(bh_all), jnp.stack(bf_all)
+    if jax.default_backend() == "tpu" and h_max > _DYN_H_MAX:
+        by_h: dict[int, list[int]] = {}
+        for i, hf in enumerate(halves):
+            by_h.setdefault(hf.h, []).append(i)
+        bh_all = [None] * B
+        bf_all = [None] * B
+        for hgrp, idxs in by_h.items():
+            grp = [halves[i] for i in idxs]
+            bh, bf = _halves_mosaic(dev, grp, rev, params, njq)
+            for r, i in enumerate(idxs):
+                bh_all[i] = bh[r]
+                bf_all[i] = bf[r]
+        return jnp.stack(bh_all), jnp.stack(bf_all)
     return _halves_dyn(dev, halves, rev, params, njq)
 
 
@@ -453,6 +526,15 @@ def reduce_partitions_batched(
 
         njq = max(128, 1 << (max(x.w for x in fwd_halves) - 1)
                   .bit_length())
+        lvl_h = max(max(x.h for x in fwd_halves),
+                    max(x.h for x in rev_halves))
+        if jax.default_backend() == "tpu" and lvl_h > _DYN_H_MAX:
+            # merge the deep Mosaic levels onto one width bucket: each
+            # distinct Mosaic (njq, hk) is a compile/cache-load key
+            # (~15 s per key in a fresh process) and the padded compute
+            # is nearly free; dyn levels keep tight widths (scan steps
+            # scale with njq)
+            njq = max(njq, 8192)
 
         next_work = []
         for off in range(0, len(pending), batch_cap):

@@ -185,12 +185,42 @@ def run_partition(
     plen = wf.padded_len(cfg, nj)
 
     # delta-packed pulls only pay off when the pull crosses PCIe/tunnel
+    # (MASA_TPU_FORCE_PACKED_PULL exercises the path in CPU tests)
+    import os as _os
+
     import jax as _jax
-    packed_pull = _jax.default_backend() != "cpu"
+    packed_pull = (_jax.default_backend() != "cpu"
+                   or bool(_os.environ.get("MASA_TPU_FORCE_PACKED_PULL")))
 
     def pull(bus):
         return wf.pull_row_delta(bus, nj_out) if packed_pull \
             else np.asarray(bus[:nj_out]).astype(np.int64)
+
+    # Deferred special-row delivery: the packed bytes copy to the host
+    # asynchronously while the next strip computes; one row in flight.
+    deferred = []
+
+    def deliver_deferred():
+        while deferred:
+            r, hh, hf = deferred.pop(0)
+            bh = wf.pull_row_delta_finish(hh)
+            bf = wf.pull_row_delta_finish(hf)
+            if on_special_row:
+                on_special_row(r, bh, bf)
+            else:
+                specials[r] = (bh, bf)
+
+    def emit_special(r, bus_h, bus_f):
+        if packed_pull:
+            deliver_deferred()
+            deferred.append((r, wf.pull_row_delta_start(bus_h, nj_out),
+                             wf.pull_row_delta_start(bus_f, nj_out)))
+        else:
+            bh, bf = pull(bus_h), pull(bus_f)
+            if on_special_row:
+                on_special_row(r, bh, bf)
+            else:
+                specials[r] = (bh, bf)
     i0 = 0
     while i0 < m_iter:
         hs = min(R, m_iter - i0)
@@ -216,7 +246,11 @@ def run_partition(
                 busmax0, best, i0, m, nj_out, C, params,
                 border_max=int(ich0.max()),
             )
-            wide = wl0 < wr0 and (wr0 - wl0) * 4 >= ng * 3
+            # windowed strips only pay once the window is SMALL: the
+            # unfused windowed path costs ~2-3 s of dispatch/sync per
+            # strip on the tunnel, so the saved compute must exceed that
+            # (measured: a 6.7%-pruned 1M run was 24 s SLOWER windowed)
+            wide = wl0 < wr0 and (wr0 - wl0) * 8 >= ng
         if (backend == "pallas" and hs == R and (not prune or wide)
                 and first_col_reader is None and not cfg.store_lastcol
                 and stop_check is None and blocks_sink is None
@@ -280,14 +314,10 @@ def run_partition(
                 cells += g * R * nj_out
                 i0 += g * R
                 if special_every and i0 % special_every == 0 and i0 < m:
-                    bh = pull(bus_h)
-                    bf = pull(bus_f)
-                    if on_special_row:
-                        # streamed to the caller's store; keeping a copy
-                        # here would hold O(m*n/interval) host RAM
-                        on_special_row(i0, bh, bf)
-                    else:
-                        specials[i0] = (bh, bf)
+                    # streamed to the caller's store (keeping copies here
+                    # would hold O(m*n/interval) host RAM); the pull is
+                    # asynchronous — it lands while the next group runs
+                    emit_special(i0, bus_h, bus_f)
                 continue
         a_lanes = jnp.asarray(wf.pack_strip_rows(cfg, seq0[i0 : i0 + hs]))
         if first_col_reader is not None:
@@ -413,15 +443,11 @@ def run_partition(
                 np.asarray(bus_h[: ng * C]), ng, C))
         is_special = special_every and i0 % special_every == 0 and i0 < m
         if is_special:
-            bh = pull(bus_h)
-            bf = pull(bus_f)
-            if on_special_row:
-                on_special_row(i0, bh, bf)
-            else:
-                specials[i0] = (bh, bf)
+            emit_special(i0, bus_h, bus_f)
         if stop_check and out is not None and stop_check(out, i0, hs, off):
             break
 
+    deliver_deferred()
     if dev_best is not None:
         # the device carry was seeded with the initial host best (border
         # candidates) and tie-breaks on-device — it IS the final answer

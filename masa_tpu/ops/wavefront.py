@@ -735,10 +735,8 @@ def chunk_max_device(bus, ng: int, chunk: int):
     return jnp.max(bus[: ng * chunk].reshape(ng, chunk), axis=1)
 
 
-def pull_row_delta(bus, nj: int) -> np.ndarray:
-    """Host side of delta_pack_device: pull ceil(nj/2) bytes, reconstruct
-    int64 exactly (escaped positions are re-fetched at full width)."""
-    u = np.asarray(delta_pack_device(bus, nj)).view(np.uint8)
+def _decode_delta(packed, bus, nj: int) -> np.ndarray:
+    u = np.asarray(packed).view(np.uint8)
     lo = (u & 0xF).astype(np.int64)
     hi = (u >> 4).astype(np.int64)
     lo[lo > 7] -= 16
@@ -758,6 +756,37 @@ def pull_row_delta(bus, nj: int) -> np.ndarray:
         add[mark] = np.diff(np.concatenate([[0], corr]))
         out += np.cumsum(add)
     return out
+
+
+def pull_row_delta(bus, nj: int) -> np.ndarray:
+    """Host side of delta_pack_device: pull ceil(nj/2) bytes, reconstruct
+    int64 exactly (escaped positions are re-fetched at full width)."""
+    return _decode_delta(delta_pack_device(bus, nj), bus, nj)
+
+
+@jax.jit
+def _device_copy(x):
+    return x + 0
+
+
+def pull_row_delta_start(bus, nj: int):
+    """Begin an ASYNC delta-packed pull: the packed bytes start copying
+    to the host while the caller keeps computing (the next strip's
+    compute hides the transfer).  A device-side snapshot of the bus is
+    kept so escape re-fetches stay valid even after the caller donates
+    the live bus away."""
+    packed = delta_pack_device(bus, nj)
+    snap = _device_copy(bus)
+    try:
+        packed.copy_to_host_async()
+    except AttributeError:       # interpret mode / older backends
+        pass
+    return (packed, snap, nj)
+
+
+def pull_row_delta_finish(handle) -> np.ndarray:
+    packed, snap, nj = handle
+    return _decode_delta(packed, snap, nj)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "nj", "h_true", "B"))

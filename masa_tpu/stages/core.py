@@ -147,6 +147,7 @@ def forward_pass(
     blocks_sink=None,
     want_last_row: bool = True,
     want_lastcol: bool = False,
+    nw_best: bool = False,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`.
@@ -172,7 +173,11 @@ def forward_pass(
     mgr.set_special_rows_store(store)
     mgr.set_special_row_interval(special_every)
     mgr.set_block_pruning(prune)
-    mgr.track_best = track_best and recurrence == Recurrence.SMITH_WATERMAN
+    # NW best tracking is opt-in (nw_best): pinned-start runs normally
+    # only need the last row/column, but --alignment-end '*' selects the
+    # endpoint as the global NW maximum
+    mgr.track_best = track_best and (
+        recurrence == Recurrence.SMITH_WATERMAN or nw_best)
     mgr.want_all_scores = best_sink is not None
     mgr.score_callback = best_sink
     mgr.pad_rows = pad_rows

@@ -88,10 +88,8 @@ def select_endpoint(res, m: int, n: int, end: AlignmentStart,
     consumed); SEQUENCE_2 = last row; SEQUENCE_1_OR_2 = the better of
     those; SEQUENCE_1_AND_2 = the corner."""
     if end == AlignmentStart.ANYWHERE:
-        if rec != Recurrence.SMITH_WATERMAN:
-            raise NotImplementedError(
-                "--alignment-end anywhere with a pinned start is not "
-                "supported yet (needs NW-valued global tracking)")
+        # for a pinned start this is the global NW maximum (the forward
+        # pass ran with nw_best tracking)
         return Crosspoint(res.best_i, res.best_j, res.best,
                           CrosspointType.MATCH)
     if end == AlignmentStart.SEQUENCE_1_AND_2:
@@ -139,6 +137,8 @@ def stage1_pass(
         special_every=iv, store=store, backend=pcfg.backend, cfg=kcfg,
         want_lastcol=end in (AlignmentStart.SEQUENCE_1,
                              AlignmentStart.SEQUENCE_1_OR_2),
+        nw_best=(end == AlignmentStart.ANYWHERE
+                 and rec == Recurrence.NEEDLEMAN_WUNSCH),
     )
     endpoint = select_endpoint(res, m, n, end, rec)
     if endpoint.i == m:

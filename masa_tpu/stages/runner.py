@@ -186,6 +186,8 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
             best_sink=sink,
             blocks_sink=blocks_sink,
             want_lastcol=want_lastcol,
+            nw_best=(end == AlignmentStart.ANYWHERE
+                     and rec == Recurrence.NEEDLEMAN_WUNSCH),
         )
     finally:
         ticker.stop()

@@ -34,6 +34,11 @@ CASES = [
     ("pair1", ["--alignment-start", "2"], (793, 1366, 77, 44, 105)),
     ("pair1", ["--alignment-start", "!", "--alignment-end", "+"],
      (793, 1366, 77, 44, 105)),
+    # pinned start, free end: endpoint = the global NW maximum
+    ("pair1", ["--alignment-start", "!", "--alignment-end", "*"],
+     (793, 1366, 77, 44, 105)),
+    ("pair2", ["--alignment-start", "!", "--alignment-end", "*"],
+     (271, 826, 50, 39, 144)),
     # differential: the classic Myers-Miller strategy must agree
     ("pair1", ["--stage-4-strategy", "ORIGINAL_MM"],
      (793, 1366, 77, 44, 105)),

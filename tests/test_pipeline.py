@@ -201,12 +201,25 @@ class TestAlignmentEnd:
         assert ep.score == want
         assert aln.raw_score == want
 
-    def test_end_anywhere_pinned_start_unsupported(self, dna):
-        import pytest
+    def test_end_anywhere_pinned_start(self, dna, homolog):
+        """Pinned start + free end: the endpoint is the global NW
+        maximum (prefix alignment)."""
+        import numpy as np
 
-        from masa_tpu.types import AlignmentStart
+        from masa_tpu.ops import oracle
+        from masa_tpu.types import (
+            AlignmentStart, InitType, Recurrence, ScoreParams,
+        )
 
-        s0 = dna(50, seed=127)
-        with pytest.raises(NotImplementedError):
-            self._run(s0, s0, AlignmentStart.SEQUENCE_1_AND_2,
-                      AlignmentStart.ANYWHERE)
+        core = dna(300, seed=127)
+        s0 = np.concatenate([core, dna(200, seed=128)])
+        s1 = np.concatenate([homolog(core, seed=129), dna(150, seed=130)])
+        ref = oracle.dp_matrix(s0, s1, ScoreParams(),
+                               Recurrence.NEEDLEMAN_WUNSCH,
+                               InitType.WITH_GAPS, InitType.WITH_GAPS)
+        b, bi, bj = ref.best()
+        ep, aln = self._run(s0, s1, AlignmentStart.SEQUENCE_1_AND_2,
+                            AlignmentStart.ANYWHERE)
+        assert aln.raw_score == b == ep.score
+        assert tuple(aln.end) == (bi, bj)
+        assert tuple(aln.start) == (1, 1)

@@ -341,3 +341,38 @@ def test_batched_strip_pallas_interpret_parity():
                                       ref.last_h[1:])
         np.testing.assert_array_equal(bf[k, lane : lane + w],
                                       ref.last_f[1:])
+
+
+def test_async_packed_special_pulls(dna, homolog, monkeypatch):
+    """The deferred delta-packed special-row pulls must deliver exactly
+    the rows the synchronous path produces (values, order, and the final
+    row after the deferred queue drains)."""
+    import numpy as np
+
+    from masa_tpu.ops import oracle, strips
+    from masa_tpu.ops.wavefront import WavefrontConfig
+    from masa_tpu.types import InitType, ScoreParams
+
+    P = ScoreParams()
+    cfg = WavefrontConfig(alpha=4, rs=1, chunk=512, track_best=True,
+                          store_lastcol=False)
+    R = cfg.rows
+    s0 = dna(4 * R + 100, seed=151)
+    s1 = homolog(s0, seed=152)
+
+    rows_async = []
+    monkeypatch.setenv("MASA_TPU_FORCE_PACKED_PULL", "1")
+    res = strips.run_partition(
+        cfg, s0, s1, P, InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+        backend="scan", special_every=R,
+        on_special_row=lambda r, h, f: rows_async.append((r, h, f)),
+    )
+    monkeypatch.delenv("MASA_TPU_FORCE_PACKED_PULL")
+
+    ref = oracle.dp_rows(s0, s1, P,
+                         special_rows=tuple(r for r, _, _ in rows_async))
+    assert [r for r, _, _ in rows_async] == sorted(ref.specials)
+    for r, h, f in rows_async:
+        np.testing.assert_array_equal(h, ref.specials[r][0][1:])
+        np.testing.assert_array_equal(f, ref.specials[r][1][1:])
+    assert res.best == ref.best

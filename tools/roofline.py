@@ -33,11 +33,17 @@ import numpy as np
 
 
 def timed(fn, *args, reps=3):
-    fn(*args)[0].block_until_ready()
+    """block_until_ready is NOT reliable over the tunneled backend (it
+    can return before the work runs); a scalar pull forces completion."""
+
+    def force(out):
+        return int(np.asarray(out[0][0:1, 0:1])[0, 0])
+
+    force(fn(*args))
     best = None
     for _ in range(reps):
         t0 = time.time()
-        fn(*args)[0].block_until_ready()
+        force(fn(*args))
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return best
@@ -93,21 +99,24 @@ def main():
               f"({T} iters x {ops_per_iter} (RS,128)-ops)")
         return dt, rate
 
-    # --- par: W independent chains, 1 max each per iteration ------------
+    # Every body consumes the loop index (XOR) so XLA cannot fold or
+    # strength-reduce the loop away (it did, before: "0.64 ns latency").
+
+    # --- par: W independent chains, 2 dependent ops each per iteration --
     def par_body(vals, it):
-        return [jnp.maximum(v, v + 1) for v in vals]
+        return [jnp.maximum(v ^ it, v - 1) for v in vals]
 
     _, par_rate = bench_kernel(par_body, W, "par", 2 * W)
 
     # --- ser: one serial chain ------------------------------------------
     def ser_body(vals, it):
         (v,) = vals
-        for _ in range(8):          # 8 dependent maxes per iteration
-            v = jnp.maximum(v + 1, v)
+        for _ in range(8):          # 8 x 2 dependent ops per iteration
+            v = jnp.maximum(v ^ it, v - 1)
         return [v]
 
     ser_dt, _ = bench_kernel(ser_body, 1, "ser", 16)
-    # latency per dependent (RS,128) op (the +1 and max serialize)
+    # latency per dependent (RS,128) op
     lat_s = ser_dt / (T * 16)
 
     # --- mix: the DP step's dependency structure ------------------------
@@ -122,8 +131,8 @@ def main():
         up_h = vals[2 * ALPHA]
         up_f = vals[2 * ALPHA + 1]
         dg0 = vals[2 * ALPHA + 2]
-        rb = vals[2 * ALPHA + 3]
-        hs, fs = [], []
+        rb = vals[2 * ALPHA + 3] ^ it       # fold-breaker (the real step
+        hs, fs = [], []                     # reads a fresh b char too)
         for k in range(ALPHA):
             e_k = jnp.maximum(hh[k] - GO, ee[k]) - GE
             uh = up_h if k == 0 else hs[k - 1]
@@ -136,7 +145,7 @@ def main():
             hs.append(h_k)
             fs.append(f_k)
             ee[k] = e_k
-        return hs + ee + [up_h, up_f, dg0, rb]
+        return hs + ee + [up_h, up_f, dg0, vals[2 * ALPHA + 3]]
 
     OPS_PER_K = 12     # e:3 f:3 sub:2 h:3 sw:1 (best omitted)
     mix_dt, _ = bench_kernel(mix_body, 2 * ALPHA + 4, "mix",
