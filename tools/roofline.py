@@ -60,42 +60,44 @@ def main():
     enable_persistent_compile_cache()
 
     RS = 32
-    T = 4096          # loop iterations per kernel launch
-    W = 8             # independent chains in `par`
+    T = 1 << 18       # base loop length; timing uses the T->2T SLOPE so
+    W = 8             # the ~33 ms dispatch floor cancels out
 
     def bench_kernel(body, n_in, label, ops_per_iter):
-        """body(vals, it) -> vals; vals = list of (RS,128) arrays."""
+        """body(vals, it) -> vals; vals = list of (RS,128) arrays.
+        Returns (seconds for T net iterations, native ops/s)."""
 
-        def kernel(*refs):
-            in_refs, out_ref = refs[:-1], refs[-1]
-            vals = [r[...] for r in in_refs]
+        def make_call(iters):
+            def kernel(*refs):
+                in_refs, out_ref = refs[:-1], refs[-1]
+                vals = [r[...] for r in in_refs]
 
-            def loop(it, vals):
-                return body(vals, it)
+                def loop(it, vals):
+                    return body(vals, it)
 
-            vals = jax.lax.fori_loop(0, T, loop, vals)
-            acc = vals[0]
-            for v in vals[1:]:
-                acc = jnp.maximum(acc, v)
-            out_ref[...] = acc
+                vals = jax.lax.fori_loop(0, iters, loop, vals)
+                acc = vals[0]
+                for v in vals[1:]:
+                    acc = jnp.maximum(acc, v)
+                out_ref[...] = acc
+
+            call = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((RS, 128), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )
+            return jax.jit(lambda *a: (call(*a),))
 
         xs = [jnp.asarray(np.random.default_rng(i).integers(
             -1000, 1000, (RS, 128), dtype=np.int32)) for i in range(n_in)]
-        call = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((RS, 128), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-
-        def run(*a):
-            return (call(*a),)
-
-        dt = timed(jax.jit(run), *xs)
+        d1 = timed(make_call(T), *xs)
+        d2 = timed(make_call(2 * T), *xs)
+        dt = max(d2 - d1, 1e-9)
         native_ops = T * ops_per_iter * (RS // 8)  # (8,128) issues
         rate = native_ops / dt
-        print(f"{label:4s}: {dt*1e3:8.3f} ms  "
-              f"{rate/1e9:7.2f} G native-vector-ops/s  "
+        print(f"{label:4s}: {dt*1e3:8.3f} ms/T-net (T={d1*1e3:.1f} "
+              f"2T={d2*1e3:.1f})  {rate/1e9:7.2f} G native-vector-ops/s  "
               f"({T} iters x {ops_per_iter} (RS,128)-ops)")
         return dt, rate
 
