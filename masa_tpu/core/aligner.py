@@ -141,6 +141,29 @@ class TPUAligner(Aligner):
             blocks = lambda rows_done, maxima: mgr.dispatch_block_scores(
                 p.i0 + rows_done, maxima)
 
+        # device-resident sequences: uploaded once (cached across
+        # partitions/hops), sliced on-device per strip — run_partition
+        # falls back to the host data path when borders are CUSTOM
+        dev_slices = None
+        if self.backend == "pallas" and not cfg.interpret:
+            import jax as _jax
+
+            if _jax.default_backend() != "cpu":
+                pad0 = 131072 + 8
+                pad1 = len(self._seq1) // 8 + 32768 + 512
+                cached = (
+                    wf.dev_seq_peek(self._seq0, wf.A_SENTINEL, pad0)
+                    is not None
+                    and wf.dev_seq_peek(self._seq1, wf.B_SENTINEL, pad1)
+                    is not None)
+                # uploads (~0.4 s/MB) must amortize: take them when
+                # cached already, or when the partition spans enough
+                # full strips to win the per-strip savings back
+                if cached or p.height >= 4 * cfg.rows:
+                    s0x = wf.dev_seq(self._seq0, wf.A_SENTINEL, pad0)
+                    s1x = wf.dev_seq(self._seq1, wf.B_SENTINEL, pad1)
+                    dev_slices = (s0x, p.i0, s1x, p.j0)
+
         res = strips.run_partition(
             cfg, sub0, sub1, mgr.params,
             mgr.get_first_row_init_type(), mgr.get_first_column_init_type(),
@@ -154,6 +177,7 @@ class TPUAligner(Aligner):
             pad_rows=mgr.pad_rows,
             blocks_sink=blocks,
             want_last_row=mgr.must_dispatch_last_row(),
+            dev_slices=dev_slices,
         )
         self.stats.cells += res.cells
         self.stats.pruned_cells += res.pruned_cells

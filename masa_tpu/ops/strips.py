@@ -86,6 +86,7 @@ def run_partition(
     pad_rows: bool = False,
     blocks_sink: Callable | None = None,
     want_last_row: bool = True,
+    dev_slices: tuple | None = None,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -100,6 +101,13 @@ def run_partition(
     relative to kernel column offset col_off (pruning windows).  ``prune`` enables block pruning (SW with
     best tracking only): strips run on a power-of-2-quantized chunk window
     computed from the previous bus; pruned columns carry -INF buses.
+
+    ``dev_slices = (seq0x, i0_off, seq1x, j0_off)``: device-resident
+    sentinel-padded sequence arrays (wf.dev_seq) with this partition's
+    origin offsets.  When given (and the borders are synthesizable, not
+    CUSTOM), full strips slice their chars/windows ON DEVICE and borders
+    synthesize from init codes — per-strip host->device traffic drops to
+    scalars.  Falls back to the host data path otherwise.
     """
     m, nj = len(seq0), len(seq1)
     assert nj >= 1
@@ -130,18 +138,41 @@ def run_partition(
         cfg.recurrence == Recurrence.SMITH_WATERMAN
     ) and not cfg.store_lastcol
 
-    b = np.full(blen, wf.B_SENTINEL, dtype=np.int32)
-    b[:nj_out] = np.asarray(seq1, np.int32)
-    b = jnp.asarray(b)
+    # device-resident slicing applies to full strips with synthesizable
+    # (non-CUSTOM) column borders; bounds are checked so callers can
+    # always pass their arrays and let unsupported cases fall back
+    use_sliced = False
+    if dev_slices is not None and backend == "pallas" \
+            and not cfg.interpret and first_col is None \
+            and first_col_reader is None \
+            and col_init != InitType.CUSTOM:
+        seq0x, i0_off, seq1x, j0_off = dev_slices
+        use_sliced = (len(seq0x) >= i0_off + (m_iter // R) * R
+                      and len(seq1x) >= j0_off + wf.padded_len(cfg, nj))
+
+    b = None
+
+    def get_b():
+        nonlocal b
+        if b is None:
+            ba = np.full(blen, wf.B_SENTINEL, dtype=np.int32)
+            ba[:nj_out] = np.asarray(seq1, np.int32)
+            b = jnp.asarray(ba)
+        return b
 
     row_h, row_f = _border_vec(
         row_init, params, nj_out + 1, 0, first_row
     )
-    bus_h = np.full(blen, -INF, dtype=np.int32)
-    bus_f = np.full(blen, -INF, dtype=np.int32)
-    bus_h[:nj_out] = row_h[1:]
-    bus_f[:nj_out] = row_f[1:]
-    bus_h, bus_f = jnp.asarray(bus_h), jnp.asarray(bus_f)
+    if use_sliced and first_row is None and row_init != InitType.CUSTOM:
+        # synthesized on device (blen-long, masked beyond nj_out)
+        bus_h, bus_f = wf.init_bus_synth(cfg, jnp.int32(int(row_init)),
+                                         jnp.int32(nj_out), blen)
+    else:
+        bus_ha = np.full(blen, -INF, dtype=np.int32)
+        bus_fa = np.full(blen, -INF, dtype=np.int32)
+        bus_ha[:nj_out] = row_h[1:]
+        bus_fa[:nj_out] = row_f[1:]
+        bus_h, bus_f = jnp.asarray(bus_ha), jnp.asarray(bus_fa)
 
     best, best_i, best_j = -INF, 0, 0
     sw = cfg.recurrence == Recurrence.SMITH_WATERMAN
@@ -274,7 +305,7 @@ def run_partition(
                 # this on the tunneled chip — see strip_step's docstring.)
                 const_border = col_init == InitType.WITH_ZEROES
                 bh_p, bf_p = bus_h[:plen], bus_f[:plen]
-                b_p = b[:plen]
+                b_p = None if use_sliced else get_b()[:plen]
                 ih_c = ie_c = None
                 if two_phase and dev_max is None:
                     dev_max = (jnp.int32(best), jnp.int32(-1))
@@ -282,6 +313,26 @@ def run_partition(
                     if two_phase else cfg
                 for k in range(g):
                     s0k = i0 + k * R
+                    if use_sliced:
+                        if two_phase:
+                            if (s0k // R) % ck_stride == 0:
+                                ckpts[s0k // R] = (bh_p, bf_p)
+                            bh_p, bf_p, dev_max = wf.strip_step_max_sliced(
+                                cfg_run, seq0x, seq1x,
+                                jnp.int32(i0_off + s0k), jnp.int32(j0_off),
+                                jnp.int32(s0k), jnp.int32(int(col_init)),
+                                jnp.int32(nj_out), bh_p, bf_p, dev_max,
+                                s0k // R, nj,
+                            )
+                        else:
+                            bh_p, bf_p, carry = wf.strip_step_sliced(
+                                cfg, seq0x, seq1x,
+                                jnp.int32(i0_off + s0k), jnp.int32(j0_off),
+                                jnp.int32(s0k), jnp.int32(int(col_init)),
+                                jnp.int32(nj_out), bh_p, bf_p, carry,
+                                s0k, nj, cfg.track_best,
+                            )
+                        continue
                     a_lanes = jnp.asarray(
                         np.ascontiguousarray(seq0[s0k : s0k + R],
                                              np.int32)
@@ -362,7 +413,7 @@ def run_partition(
             if windowed:
                 nj_w = wn * C
                 off = wa * C
-                b_w = jax.lax.dynamic_slice(b, (off,), (nj_w + C,))
+                b_w = jax.lax.dynamic_slice(get_b(), (off,), (nj_w + C,))
                 bh_w = jax.lax.dynamic_slice(bus_h, (off,), (nj_w + C,))
                 bf_w = jax.lax.dynamic_slice(bus_f, (off,), (nj_w + C,))
                 if wa > 0:
@@ -380,7 +431,7 @@ def run_partition(
                 pruned_cells += max(0, hs * (nj_out - nj_w))
             else:
                 nj_w, off = nj, 0
-                b_w, bh_w, bf_w = b, bus_h, bus_f
+                b_w, bh_w, bf_w = get_b(), bus_h, bus_f
                 ih_w, ie_w, corner_w = init_h, init_e, corner
 
             # Partial strips (a one-off shape per partition) run through
@@ -480,13 +531,13 @@ def run_partition(
             for k in range(k0, sidx):
                 a_l, ihk, iek, cch = strip_inputs(k)
                 bh_ck, bf_ck, dummy = wf.strip_step_max(
-                    cfg_max, a_l, ihk, iek, cch, b[:plen],
+                    cfg_max, a_l, ihk, iek, cch, get_b()[:plen],
                     bh_ck, bf_ck, dummy, k, nj,
                 )
             a_l, ihk, iek, cch = strip_inputs(sidx)
             seed = (jnp.int32(-INF), jnp.int32(0), jnp.int32(0))
             _, _, carry2 = wf.strip_step(
-                cfg, a_l, ihk, iek, cch, b[:plen],
+                cfg, a_l, ihk, iek, cch, get_b()[:plen],
                 bh_ck, bf_ck, seed, sidx * R, nj, True,
             )
             best, best_i, best_j = (int(v) for v in

@@ -705,6 +705,142 @@ def strip_step(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h, bus_f,
                             best_carry, i0, nj, track, h_true)
 
 
+def border_h_traced(code, k, go: int, ge: int):
+    """Traced border-H synthesis (models.scoring.border_cells semantics):
+    code 0 = WITH_ZEROES, 1 = WITH_GAPS, 2 = WITH_GAPS_OPENED; k may be
+    an array of border positions."""
+    k = jnp.asarray(k, jnp.int32)
+    gaps = jnp.where(k == 0, 0, -go - k * ge)
+    return jnp.where(code == 0, 0,
+                     jnp.where(code == 1, gaps, -k * ge)).astype(jnp.int32)
+
+
+# --- device-resident sequence cache ---------------------------------------
+# Key: (host pointer, length, sentinel, reversed, pad) + a sampled
+# fingerprint (catches pointer reuse after free).  Bounded LRU; entries
+# are sentinel-padded so any (offset, static-size) slice stays in bounds.
+
+_DEV_SEQ_CACHE: "OrderedDict[tuple, object]" = None
+
+
+def _dev_seq_key(arr: np.ndarray, sentinel: int, reverse: bool, pad: int):
+    a = np.asarray(arr)
+    n = len(a)
+    step = max(n // 16, 1)
+    fp = bytes(a[::step][:32].tobytes())
+    return (a.__array_interface__["data"][0], n, sentinel, reverse, pad,
+            fp)
+
+
+def dev_seq_peek(arr: np.ndarray, sentinel: int, pad: int,
+                 reverse: bool = False):
+    """The cached device copy, or None — without uploading."""
+    if _DEV_SEQ_CACHE is None:
+        return None
+    return _DEV_SEQ_CACHE.get(_dev_seq_key(arr, sentinel, reverse, pad))
+
+
+def dev_seq(arr: np.ndarray, sentinel: int, pad: int,
+            reverse: bool = False):
+    """Upload (once) a sentinel-padded int32 copy of `arr` (optionally
+    reversed) and cache it.  Callers slice it with lax.dynamic_slice at
+    per-partition offsets instead of shipping packed strips per call."""
+    global _DEV_SEQ_CACHE
+    from collections import OrderedDict
+
+    if _DEV_SEQ_CACHE is None:
+        _DEV_SEQ_CACHE = OrderedDict()
+    a = np.asarray(arr)
+    n = len(a)
+    key = _dev_seq_key(a, sentinel, reverse, pad)
+    hit = _DEV_SEQ_CACHE.get(key)
+    if hit is not None:
+        _DEV_SEQ_CACHE.move_to_end(key)
+        return hit
+    buf = np.full(n + pad, sentinel, np.int32)
+    buf[:n] = a[::-1] if reverse else a
+    dev = jnp.asarray(buf)
+    _DEV_SEQ_CACHE[key] = dev
+    # bounded by entries AND bytes (chromosome-scale views are ~4B/char)
+    while len(_DEV_SEQ_CACHE) > 6 or sum(
+            4 * (k[1] + k[4]) for k in _DEV_SEQ_CACHE) > (2 << 30):
+        _DEV_SEQ_CACHE.popitem(last=False)
+    return dev
+
+
+def _sliced_prep(cfg, seq0x, seq1x, i0_abs, j0_abs, r_local, col_code,
+                 nj: int, nj_real):
+    """On-device strip preparation: slice the strip chars and the column
+    window, synthesize the pinned column border from its init code, and
+    sentinel-mask columns beyond the real width (padded-bucket columns
+    must decay, or fast-step best tracking could see phantom scores)."""
+    R = cfg.rows
+    go, ge = cfg.gap_open, cfg.gap_ext
+    a_vec = jax.lax.dynamic_slice(seq0x, (i0_abs,), (R,))
+    a = pack_lanes_jnp(cfg, a_vec)
+    kk = jnp.arange(R, dtype=jnp.int32) + r_local + 1
+    ih = pack_lanes_jnp(cfg, border_h_traced(col_code, kk, go, ge))
+    ie = pack_lanes_jnp(cfg, jnp.full(R, NEG, jnp.int32))
+    corner = border_h_traced(col_code, r_local, go, ge)
+    plen = padded_len(cfg, nj)
+    b_raw = jax.lax.dynamic_slice(seq1x, (j0_abs,), (plen,))
+    jj = jax.lax.iota(jnp.int32, plen)
+    b = jnp.where(jj < nj_real, b_raw, jnp.int32(B_SENTINEL))
+    return a, ih, ie, corner, b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "nj", "track"),
+                   donate_argnums=(8, 9))
+def strip_step_sliced(cfg: WavefrontConfig, seq0x, seq1x, i0_abs, j0_abs,
+                      r_local, col_code, nj_real, bus_h, bus_f,
+                      best_carry, i0_dp, nj: int, track: bool):
+    """strip_step with the device-resident data plane: strip chars and
+    the column window slice from resident sequences, borders synthesize
+    from the init code — the only per-strip host->device traffic is a
+    handful of scalars (a packed strip upload costs ~0.2 s over the
+    tunnel; eight strips of a 1M run paid ~1.6 s)."""
+    a, ih, ie, corner, b = _sliced_prep(
+        cfg, seq0x, seq1x, i0_abs, j0_abs, r_local, col_code, nj, nj_real)
+    return _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
+                            best_carry, i0_dp, nj, track)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nj"))
+def strip_step_max_sliced(cfg: WavefrontConfig, seq0x, seq1x, i0_abs,
+                          j0_abs, r_local, col_code, nj_real, bus_h,
+                          bus_f, max_carry, strip_id, nj: int):
+    """strip_step_max (phase-1 max-only tracking) with the
+    device-resident data plane.  cfg must have track_pos=False.  NOT
+    donated: the two-phase replay keeps checkpoint references to the
+    input buses."""
+    a, ih, ie, corner, b = _sliced_prep(
+        cfg, seq0x, seq1x, i0_abs, j0_abs, r_local, col_code, nj, nj_real)
+    out = strip_pallas(cfg, a, b, bus_h, bus_f, ih, ie, corner,
+                       nj=nj, h_true=cfg.rows)
+    lane = (cfg.rows - 1) // cfg.alpha
+    plen = padded_len(cfg, nj)
+    pad = jnp.full(plen - nj, NEG, jnp.int32)
+    bh2 = jnp.concatenate(
+        [jax.lax.dynamic_slice(out["bus_h"], (lane,), (nj,)), pad])
+    bf2 = jnp.concatenate(
+        [jax.lax.dynamic_slice(out["bus_f"], (lane,), (nj,)), pad])
+    max_carry = merge_max_device(max_carry, out["best_v"], strip_id)
+    return bh2, bf2, max_carry
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "plen"))
+def init_bus_synth(cfg: WavefrontConfig, row_code, nj_real, plen: int):
+    """Device-synthesized row-border bus (the host path builds and
+    uploads it — ~0.4 s/MB over the tunnel)."""
+    j = jax.lax.iota(jnp.int32, plen) + 1
+    bh = jnp.where(j <= nj_real,
+                   border_h_traced(row_code, j, cfg.gap_open, cfg.gap_ext),
+                   jnp.int32(NEG))
+    bf = jnp.full(plen, NEG, jnp.int32)
+    return bh, bf
+
+
 @functools.partial(jax.jit, static_argnames=("nj",))
 def delta_pack_device(v, nj: int):
     """Delta-encode the first nj elements to NIBBLES on DEVICE (two

@@ -116,6 +116,8 @@ def march_slab(
     n_loc = len(slab)
     cps = [endpoint_local]
     cp = endpoint_local
+    rev_seqs = (np.ascontiguousarray(seq0[::-1]),
+                np.ascontiguousarray(slab[::-1]))
     row0_h, _ = _bc(n_loc + 1, InitType.WITH_ZEROES, params)
     row0_h = row0_h.astype(np.int64)
 
@@ -146,6 +148,7 @@ def march_slab(
                 seq0, slab, params, cp, r, fh, ff, max(j_low, 0),
                 goal_anywhere, backend=backend, cfg=cfg,
                 want_rev_col=at_edge and first_col is not None,
+                rev_seqs=rev_seqs,
             )
             if rm.start_found:
                 si, sj = rm.start

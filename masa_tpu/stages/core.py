@@ -298,6 +298,7 @@ def reverse_pass_and_match(
     backend: str = "auto",
     cfg: wf.WavefrontConfig | None = None,
     want_rev_col: bool = False,
+    rev_seqs: tuple | None = None,
 ) -> ReverseMatch:
     """One reverse partition: from crosspoint `cp` up to `cut_row`,
     columns [j_low, cp.j], matched against the stored forward cut.
@@ -306,6 +307,11 @@ def reverse_pass_and_match(
     (global column indexing).  Returns the next crosspoint, or a
     start-found result (SW), or crosspoint=None when the window was too
     small (caller widens j_low).
+
+    ``rev_seqs = (seq0_reversed, seq1_reversed)``: STABLE full reversed
+    arrays (built once per march).  The pass then aligns an offset
+    partition of them instead of materializing per-hop slices — the
+    aligner's device-resident sequence cache hits on every hop.
     """
     from masa_tpu.core.manager import AlignerManager
     from masa_tpu.types import Partition
@@ -321,9 +327,6 @@ def reverse_pass_and_match(
         j_low = max(cj - want, 0)
     width = cj - j_low
     goal = s + (params.gap_open if t != CrosspointType.MATCH else 0)
-
-    rseq0 = np.ascontiguousarray(seq0[cut_row:ci][::-1])
-    rseq1 = np.ascontiguousarray(seq1[j_low:cj][::-1])
 
     # Reverse frame: row border = horizontal moves back from the
     # crosspoint; col border = vertical.  Pin the crosspoint state.
@@ -362,9 +365,20 @@ def reverse_pass_and_match(
         mgr.last_column_wanted = want_rev_col
         mgr.reverse_f0 = _border_f_value(col_init, hb, params)
         mgr.set_goal_score(goal, base_row=(fwd_cut_h, fwd_cut_f))
-        aligner.set_sequences(rseq0, rseq1)
-        mgr.align_partition(Partition(0, 0, hb, width))
-        best, best_pq = mgr.best[0], (mgr.best[1], mgr.best[2])
+        if rev_seqs is not None:
+            # offset partition of the stable reversed-full arrays
+            r0f, r1f = rev_seqs
+            part = Partition(len(seq0) - ci, len(seq1) - cj,
+                             len(seq0) - cut_row, len(seq1) - j_low)
+            aligner.set_sequences(r0f, r1f)
+        else:
+            part = Partition(0, 0, hb, width)
+            aligner.set_sequences(
+                np.ascontiguousarray(seq0[cut_row:ci][::-1]),
+                np.ascontiguousarray(seq1[j_low:cj][::-1]))
+        mgr.align_partition(part)
+        best = mgr.best[0]
+        best_pq = (mgr.best[1] - part.i0, mgr.best[2] - part.j0)
         rev_col = None
         if want_rev_col and mgr.last_column is not None:
             rev_col = (mgr.last_column[1], mgr.last_column[2])
@@ -431,6 +445,10 @@ def reverse_march(
     sw_anywhere = alignment_start == AlignmentStart.ANYWHERE
     cps: list[Crosspoint] = [endpoint]
     cp = endpoint
+    # stable reversed views for the whole march: every hop aligns an
+    # offset partition of these, so device-resident uploads happen once
+    rev_seqs = (np.ascontiguousarray(seq0[::-1]),
+                np.ascontiguousarray(seq1[::-1]))
 
     row0_h, _ = (
         border_cells(n + 1, row_init, params)
@@ -462,6 +480,7 @@ def reverse_march(
             rm = reverse_pass_and_match(
                 seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
                 goal_anywhere, backend=backend, cfg=cfg,
+                rev_seqs=rev_seqs,
             )
             if rm.start_found:
                 si, sj = rm.start
