@@ -225,8 +225,16 @@ def main(argv=None) -> int:
         if len(fw) == 1:
             fw = [1.0] * int(fw[0])
         from masa_tpu.parallel.fork import run_fork
+        from masa_tpu.stages.core import default_backend
 
+        if args.backend == "numpy":
+            print("warning: --backend numpy unsupported for --fork; "
+                  "using the scan kernel twin", file=sys.stderr)
+            fork_backend = "scan"
+        else:
+            fork_backend = default_backend()
         res = run_fork(seq0, seq1, fw, jcfg.work_dir, params,
+                       backend=fork_backend,
                        max_partition=args.maximum_partition)
         print(f"alignment score: {res['score']}  "
               f"({len(fw)} forked processes; matches={res['matches']} "

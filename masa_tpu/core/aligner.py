@@ -252,6 +252,8 @@ class CPUAligner(Aligner):
                     sub0, sub1, mgr.params, mgr.recurrence,
                     mgr.get_first_row_init_type(),
                     mgr.get_first_column_init_type(),
+                    first_row=mgr.receive_first_row(),
+                    first_col=mgr.receive_first_column(),
                 )
                 b, bi, bj = dres.best()
                 mgr.dispatch_score(p.i0 + bi, p.j0 + bj, b)

@@ -58,13 +58,9 @@ _CODE = {
 }
 
 
-def _border_h_dev(code, k, go: int, ge: int):
-    """Traced border synthesis (border_cells semantics): code 0 zeros,
-    1 gaps, 2 gaps-opened; k may be an array of border positions."""
-    k = jnp.asarray(k, jnp.int32)
-    gaps = jnp.where(k == 0, 0, -go - k * ge)
-    return jnp.where(code == 0, 0,
-                     jnp.where(code == 1, gaps, -k * ge)).astype(jnp.int32)
+# traced border synthesis lives in the kernel module (one copy of the
+# border semantics next to the kernels that consume it)
+_border_h_dev = wf.border_h_traced
 
 
 # The dyn kernel is pure XLA (lax.scan), so tiny vector shapes are legal

@@ -176,7 +176,10 @@ def run_partition(
 
     best, best_i, best_j = -INF, 0, 0
     sw = cfg.recurrence == Recurrence.SMITH_WATERMAN
-    if sw and cfg.track_best:
+    if cfg.track_best:
+        # border cells are part of the matrix and must seed the best
+        # for NW too (nw_best endpoint selection): the in-kernel
+        # tracking covers interior cells only
         best = int(row_h.max())
         best_j = int(np.argmax(row_h))
         best_i = 0

@@ -100,21 +100,15 @@ def worker_main(config_path: str) -> int:
     # libmasa.cpp:698-757): before blocking on the pipeline, march from
     # the slab-LOCAL best; if the confirmed crosspoint later lands on a
     # speculated one, the chain is spliced instead of recomputed.
-    spec: list | None = None
-    if (cfg.get("traceback") == "speculative" and not pool.is_last_node()
-            and part.best > 0 and j0 < part.best_j <= j1):
-        import copy
+    from masa_tpu.parallel.split import speculate_slab, splice_speculation
 
-        ep = Crosspoint(part.best_i, part.best_j - j0, part.best,
-                        CrosspointType.MATCH)
-        try:
-            spec = march_slab(
-                seq0, slab, params, ep, copy.deepcopy(part.specials),
-                part.first_col if k > 0 else None,
-                sw_anywhere=True, backend="auto", cfg=kcfg,
-            )
-        except RuntimeError:
-            spec = None      # failed speculation is discarded, never fatal
+    spec: list | None = None
+    if cfg.get("traceback") == "speculative" and not pool.is_last_node():
+        spec = speculate_slab(
+            seq0, slab, params, (part.best_i, part.best_j, part.best),
+            j0, j1, part.specials, part.first_col if k > 0 else None,
+            backend="auto", cfg=kcfg,
+        )
 
     my_cps: list[Crosspoint] = []
     if pool.is_last_node():
@@ -131,11 +125,7 @@ def worker_main(config_path: str) -> int:
             sw_anywhere=True, backend="auto", cfg=kcfg,
             known=known,
         )
-        if known and local and tuple(local[0]) in known:
-            # splice the speculated prefix (sw_stage2.cpp:151-182)
-            hit = next(i for i, c in enumerate(spec)
-                       if tuple(c) == tuple(local[0]))
-            local = spec[: hit + 1] + local[1:]
+        local, _ = splice_speculation(local, spec)
         my_cps = [Crosspoint(c.i, c.j + j0, c.score, c.type)
                   for c in local]
         first = my_cps[0]

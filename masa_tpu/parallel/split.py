@@ -46,6 +46,16 @@ def auto_urls(work_dir: str, nparts: int, use_sockets: bool = False,
             for k in range(nparts - 1)]
 
 
+def _best_part(parts) -> int:
+    """The slab owning the global endpoint, with the ENGINE tie-break
+    (max score, then smallest i, then smallest j) — score-only argmax
+    could pick a different co-optimal endpoint than the monolithic
+    pipeline on a cross-slab tie."""
+    return max(range(len(parts)),
+               key=lambda k: (parts[k].best, -parts[k].best_i,
+                              -parts[k].best_j))
+
+
 @dataclasses.dataclass
 class PartResult:
     best: int
@@ -324,7 +334,7 @@ def pipelined_traceback(
     crosspoints ascending."""
     from masa_tpu.types import Crosspoint, CrosspointType
 
-    best_k = max(range(len(parts)), key=lambda k: parts[k].best)
+    best_k = _best_part(parts)
     p = parts[best_k]
     cp = Crosspoint(p.best_i, p.best_j, p.best, CrosspointType.MATCH)
     k = best_k
@@ -349,6 +359,51 @@ def pipelined_traceback(
     return all_cps
 
 
+def speculate_slab(
+    seq0: np.ndarray,
+    slab: np.ndarray,
+    params: ScoreParams,
+    best: tuple[int, int, int],   # (i, j_global, score)
+    j0: int,
+    j1: int,
+    specials,
+    first_col,
+    backend: str = "auto",
+    cfg: wf.WavefrontConfig | None = None,
+):
+    """Speculative march from the slab-LOCAL best (the TPDS2016
+    prediction).  Returns the slab-local chain, or None when the best
+    lies outside the slab or the speculation fails (never fatal)."""
+    import copy
+
+    from masa_tpu.types import Crosspoint, CrosspointType
+
+    bi, bj, bs = best
+    if bs <= 0 or not (j0 < bj <= j1):
+        return None
+    ep = Crosspoint(bi, bj - j0, bs, CrosspointType.MATCH)
+    try:
+        return march_slab(
+            seq0, slab, params, ep, copy.deepcopy(specials), first_col,
+            sw_anywhere=True, backend=backend, cfg=cfg,
+        )
+    except RuntimeError:
+        return None
+
+
+def splice_speculation(local: list, spec: list | None):
+    """Splice the speculated prefix when the confirmed chain landed on a
+    speculated crosspoint (the already-computed check,
+    sw_stage2.cpp:151-182).  Returns (chain, reused_count)."""
+    if not spec or not local:
+        return local, 0
+    keys = {tuple(c): i for i, c in enumerate(spec)}
+    hit = keys.get(tuple(local[0]))
+    if hit is None:
+        return local, 0
+    return spec[: hit + 1] + local[1:], hit + 1
+
+
 def speculative_traceback(
     seq0: np.ndarray,
     seq1: np.ndarray,
@@ -366,30 +421,21 @@ def speculative_traceback(
 
     Returns (crosspoints, reused_count) — reused_count is the number of
     crosspoints taken from speculation instead of recomputation."""
-    import copy
-
     from masa_tpu.types import Crosspoint, CrosspointType
 
-    best_k = max(range(len(parts)), key=lambda k: parts[k].best)
+    best_k = _best_part(parts)
 
     # --- speculative phase (parallel across parts in deployment) -------
     spec: dict[int, list] = {}
     for k in range(best_k):
         p = parts[k]
-        if not (p.j0 < p.best_j <= p.j1) or p.best <= 0:
-            continue
-        ep = Crosspoint(p.best_i, p.best_j - p.j0, p.best,
-                        CrosspointType.MATCH)
-        slab = np.ascontiguousarray(seq1[p.j0 : p.j1])
-        try:
-            spec[k] = march_slab(
-                seq0, slab, params, ep,
-                copy.deepcopy(p.specials),
-                p.first_col if k > 0 else None,
-                sw_anywhere=True, backend=backend, cfg=cfg,
-            )
-        except RuntimeError:
-            pass  # failed speculation is discarded, never fatal
+        s = speculate_slab(
+            seq0, np.ascontiguousarray(seq1[p.j0 : p.j1]), params,
+            (p.best_i, p.best_j, p.best), p.j0, p.j1, p.specials,
+            p.first_col if k > 0 else None, backend=backend, cfg=cfg,
+        )
+        if s is not None:
+            spec[k] = s
 
     # --- confirmation pass ---------------------------------------------
     p = parts[best_k]
@@ -410,13 +456,8 @@ def speculative_traceback(
             sw_anywhere=True, backend=backend, cfg=cfg,
             known=known,
         )
-        if known and local and tuple(local[0]) in known:
-            # splice the speculated prefix (everything left of the hit)
-            chain = spec[k]
-            hit = next(i for i, c in enumerate(chain)
-                       if tuple(c) == tuple(local[0]))
-            reused += hit + 1
-            local = chain[: hit + 1] + local[1:]
+        local, r = splice_speculation(local, spec.get(k))
+        reused += r
         glob = [Crosspoint(c.i, c.j + part.j0, c.score, c.type)
                 for c in local]
         all_cps = glob[:-1] + all_cps if all_cps else glob

@@ -223,3 +223,28 @@ class TestAlignmentEnd:
         assert aln.raw_score == b == ep.score
         assert tuple(aln.end) == (bi, bj)
         assert tuple(aln.start) == (1, 1)
+
+
+def test_nw_best_includes_border_cells(dna):
+    """Regression (review find): with nw_best, the kernel backend must
+    seed border candidates — on dissimilar sequences the global NW
+    maximum can be a border cell (e.g. the free origin, score 0), which
+    the in-kernel interior tracking alone would miss."""
+    import numpy as np
+
+    from masa_tpu.ops import oracle
+    from masa_tpu.stages import core
+    from masa_tpu.types import InitType, Recurrence, ScoreParams
+
+    P = ScoreParams()
+    s0 = dna(700, seed=161)
+    s1 = dna(650, seed=162)  # unrelated: interior NW values are negative
+    ref = oracle.dp_matrix(s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+                           InitType.WITH_GAPS, InitType.WITH_GAPS)
+    b, bi, bj = ref.best()
+    res = core.forward_pass(
+        s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+        InitType.WITH_GAPS, InitType.WITH_GAPS,
+        backend="kernel", nw_best=True)
+    assert (res.best, res.best_i, res.best_j) == (b, bi, bj)
+    assert b == 0 and (bi, bj) == (0, 0)  # the free origin wins here
