@@ -223,7 +223,12 @@ def main(argv=None) -> int:
             parser.error(f"--fork: expected N or W1,..,Wn, "
                          f"got {args.fork!r}")
         if len(fw) == 1:
-            fw = [1.0] * int(fw[0])
+            # --fork N: weight the N slabs by probed device throughput
+            # (the reference's getGPUWeights feeding fork_multi_process)
+            from masa_tpu.utils.devices import device_weights
+
+            w = device_weights(probe=True)
+            fw = [w[k % len(w)] for k in range(int(fw[0]))]
         from masa_tpu.parallel.fork import run_fork
         from masa_tpu.stages.core import default_backend
 

@@ -49,7 +49,13 @@ class Aligner(abc.ABC):
         self.manager = manager
 
     def get_fork_weights(self, count: int) -> list[float]:
-        return [1.0] * count
+        """Per-fork slab weights (IAligner::getForkWeights): probed
+        device throughputs when the mesh is heterogeneous, padded/cycled
+        to `count` forks (cuda_util.cpp:191 getGPUWeights)."""
+        from masa_tpu.utils.devices import device_weights
+
+        w = device_weights(probe=True)
+        return [w[k % len(w)] for k in range(count)]
 
     def initialize(self) -> None:
         pass

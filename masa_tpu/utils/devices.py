@@ -19,11 +19,44 @@ def list_devices() -> list[dict]:
     return out
 
 
-def device_weights() -> list[float]:
+def device_weights(probe: bool = False, reps: int = 2) -> list[float]:
     """Relative throughput weights for column splitting (getGPUWeights
-    feeding --fork; uniform on a homogeneous slice)."""
-    devs = list_devices()
-    return [1.0] * len(devs)
+    feeding --fork, src/cuda_util.cpp:191).  Uniform by default (a
+    homogeneous slice); ``probe=True`` times a small matmul burst on
+    every device and weights by measured throughput — the TPU-native
+    analogue of the reference's per-GPU bandwidth probe, for
+    heterogeneous or contended device sets."""
+    import jax
+
+    devs = jax.devices()
+    if not probe or len(devs) < 2:
+        return [1.0] * len(devs)
+
+    import time
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def burst(x):
+        for _ in range(8):
+            x = jnp.tanh(x @ x)
+        return x
+
+    weights = []
+    for d in devs:
+        x = jax.device_put(jnp.ones((256, 256), jnp.float32), d)
+        burst(x).block_until_ready()          # compile/warm
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            # scalar pull forces completion (block_until_ready is not
+            # reliable over tunneled backends)
+            float(burst(x)[0, 0])
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        weights.append(1.0 / max(best, 1e-9))
+    lo = min(weights)
+    return [w / lo for w in weights]
 
 
 def select_device(fork_id: int):

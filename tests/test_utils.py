@@ -82,3 +82,25 @@ class TestDevices:
         assert len(devs) == 8  # virtual CPU mesh
         assert len(device_weights()) == 8
         assert "available devices" in format_device_list()
+
+
+def test_device_weight_probe():
+    """Probed fork weights: one per device, normalized to min 1.0, all
+    finite (the getGPUWeights analogue on the 8-device virtual mesh)."""
+    import jax
+
+    from masa_tpu.utils.devices import device_weights
+
+    uniform = device_weights()
+    assert uniform == [1.0] * len(jax.devices())
+    w = device_weights(probe=True, reps=1)
+    assert len(w) == len(jax.devices())
+    assert min(w) == 1.0
+    assert all(x >= 1.0 and x < 1e6 for x in w)
+
+
+def test_aligner_fork_weights_cycle():
+    from masa_tpu.core.aligner import CPUAligner
+
+    w = CPUAligner().get_fork_weights(3)
+    assert len(w) == 3 and all(x > 0 for x in w)
