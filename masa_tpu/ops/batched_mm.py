@@ -44,7 +44,6 @@ from masa_tpu.types import (
     Crosspoint,
     CrosspointType,
     InitType,
-    MatchType,
     Recurrence,
     ScoreParams,
 )
