@@ -170,3 +170,14 @@ class TestShardedFullAlignment:
         ref = oracle.dp_rows(s0, s1, P)
         best, aln = sharded_align(s0, s1, mesh, CFG, P)
         assert best == aln.raw_score == ref.best
+
+
+def test_full_alignment_three_devices(dna, homolog):
+    """Non-power-of-two mesh with a width not divisible by D: uneven
+    slab padding and the last device's short slab must stay exact."""
+    s0 = dna(500, seed=95)
+    s1 = homolog(s0, seed=96)[:470]
+    mesh = make_mesh(3)
+    ref = oracle.dp_rows(s0, s1, P)
+    best, aln = sharded_align(s0, s1, mesh, CFG, P)
+    assert best == aln.raw_score == ref.best
