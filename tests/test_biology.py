@@ -95,3 +95,41 @@ class TestCGFF:
             A._wv(buf, v)
             buf.seek(0)
             assert A._rv(buf) == v
+
+
+class TestTopLevelAPI:
+    def test_align_strings(self):
+        import masa_tpu
+
+        a = masa_tpu.align("ACGTACGTAGGCT", "ACGTACGTCGGCT")
+        assert a.raw_score == 9 and a.matches == 12
+
+    def test_align_arrays_and_modes(self, dna, homolog):
+        import masa_tpu
+        from masa_tpu.ops import oracle
+        from masa_tpu.types import (
+            InitType, Recurrence, ScoreParams,
+        )
+
+        s0 = dna(200, seed=171)
+        s1 = homolog(s0, seed=172)
+        a = masa_tpu.align(s0, s1)
+        assert a.raw_score == oracle.dp_rows(s0, s1, ScoreParams()).best
+        g = masa_tpu.align(s0, s1, alignment_start="!")
+        ref = oracle.dp_rows(s0, s1, ScoreParams(),
+                             Recurrence.NEEDLEMAN_WUNSCH,
+                             InitType.WITH_GAPS, InitType.WITH_GAPS)
+        assert g.raw_score == ref.last_h[-1]
+
+    def test_align_fasta_paths(self, tmp_path, dna, homolog):
+        import masa_tpu
+
+        s0 = dna(150, seed=173)
+        s1 = homolog(s0, seed=174)
+        p0 = tmp_path / "a.fa"
+        p1 = tmp_path / "b.fa"
+        p0.write_text(">a\n" + bytes(s0).decode() + "\n")
+        p1.write_text(">b\n" + bytes(s1).decode() + "\n")
+        a = masa_tpu.align(str(p0), str(p1))
+        b = masa_tpu.align(s0, s1)
+        assert a.raw_score == b.raw_score
