@@ -299,6 +299,7 @@ def reverse_pass_and_match(
     cfg: wf.WavefrontConfig | None = None,
     want_rev_col: bool = False,
     rev_seqs: tuple | None = None,
+    free_col_start: bool = False,
 ) -> ReverseMatch:
     """One reverse partition: from crosspoint `cp` up to `cut_row`,
     columns [j_low, cp.j], matched against the stored forward cut.
@@ -392,6 +393,19 @@ def reverse_pass_and_match(
                             start=(ci - p, cj - q))
 
     if not mres.found:
+        # Free-column-border start (--alignment-start '1'/'+'): the path
+        # may START mid-border at (i, 0) between special rows, crossing
+        # no cut at all.  The start condition is an exact goal hit in the
+        # reverse pass's LAST column (reverse cell (p, width) = original
+        # (ci - p, 0) reached with value `goal`) — the column analogue of
+        # the virtual row-0 matching that covers free ROW borders.
+        if j_low == 0 and rev_col is not None and free_col_start:
+            rc = np.asarray(rev_col[0], np.int64)[: hb + 1]
+            hits = np.nonzero(rc == goal)[0]
+            if len(hits):
+                p = int(hits[0])
+                return ReverseMatch(None, start_found=True,
+                                    start=(ci - p, 0))
         if mres.type in (MatchType.ERROR_SUM_MATCH, MatchType.ERROR_SUM_GAP) \
                 and j_low == 0 and not want_rev_col:
             raise RuntimeError(
@@ -473,14 +487,20 @@ def reverse_march(
             fh, ff = specials.get(r)
 
         goal_anywhere = sw_anywhere and goal_reachable(cp, r, params.match)
+        # free column border: the path may start mid-border at (i, 0)
+        free_col = (not sw_anywhere
+                    and col_init == InitType.WITH_ZEROES)
 
         width0 = initial_window(cp, r, backend)
         j_low = cp.j - width0
         while True:
+            at_edge = j_low <= 0
             rm = reverse_pass_and_match(
                 seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
                 goal_anywhere, backend=backend, cfg=cfg,
                 rev_seqs=rev_seqs,
+                want_rev_col=free_col and at_edge,
+                free_col_start=free_col,
             )
             if rm.start_found:
                 si, sj = rm.start

@@ -1,0 +1,99 @@
+"""Randomized differential soak: the full pipeline vs the dense oracle
+across the alignment-start/end mode matrix with random score parameters
+and random sequence shapes.
+
+For every sampled configuration the expected endpoint score is derived
+independently from oracle.dp_matrix (global max / last row / last col /
+corner per the mode), and the pipeline must reproduce it exactly with
+the stage-5 invariant and stage-6 re-check passing (they raise
+otherwise).
+"""
+
+import numpy as np
+import pytest
+
+from masa_tpu.ops import oracle
+from masa_tpu.stages import pipeline, stage6
+from masa_tpu.types import (
+    AlignmentStart,
+    InitType,
+    Recurrence,
+    ScoreParams,
+)
+
+S = AlignmentStart
+
+
+def _inits(start):
+    return pipeline._mode_inits(start)
+
+
+def _expected(ref, m, n, start, end, rec):
+    """Endpoint score per mode, derived from the dense matrix alone."""
+    h = ref.h
+    if end is None:
+        end = S.ANYWHERE if start == S.ANYWHERE else S.SEQUENCE_1_AND_2
+    if end == S.ANYWHERE:
+        if rec == Recurrence.SMITH_WATERMAN:
+            return int(h.max())
+        b, _, _ = ref.best()
+        return int(b)
+    if end == S.SEQUENCE_1_AND_2:
+        return int(h[m, n])
+    cands = []
+    if end in (S.SEQUENCE_2, S.SEQUENCE_1_OR_2):
+        cands.append(int(h[m, :].max()))
+    if end in (S.SEQUENCE_1, S.SEQUENCE_1_OR_2):
+        cands.append(int(h[:, n].max()))
+    return max(cands)
+
+
+STARTS = [S.ANYWHERE, S.SEQUENCE_1_AND_2, S.SEQUENCE_1, S.SEQUENCE_2,
+          S.SEQUENCE_1_OR_2]
+ENDS = [None, S.ANYWHERE, S.SEQUENCE_1_AND_2, S.SEQUENCE_1, S.SEQUENCE_2,
+        S.SEQUENCE_1_OR_2]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_pipeline_vs_oracle(seed):
+    rng = np.random.default_rng(5000 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    m = int(rng.integers(40, 320))
+    n = int(rng.integers(40, 320))
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    if rng.random() < 0.6:
+        # homologous core so paths are nontrivial
+        s1 = s0[: n].copy() if n <= m else np.concatenate(
+            [s0, rng.choice(bases, n - m)]).astype(np.uint8)
+        idx = rng.random(len(s1)) < 0.1
+        s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
+    else:
+        s1 = rng.choice(bases, n).astype(np.uint8)
+    n = len(s1)
+    params = ScoreParams(
+        match=int(rng.integers(1, 4)),
+        mismatch=-int(rng.integers(1, 5)),
+        gap_open=int(rng.integers(1, 5)),
+        gap_ext=int(rng.integers(1, 4)),
+    )
+    start = STARTS[rng.integers(len(STARTS))]
+    end = ENDS[rng.integers(len(ENDS))]
+
+    row_init, col_init = _inits(start)
+    rec = pipeline._recurrence(start)
+    ref = oracle.dp_matrix(s0, s1, params, rec, row_init, col_init)
+    want = _expected(ref, m, n, start, end, rec)
+
+    pcfg = pipeline.PipelineConfig(
+        params=params, alignment_start=start, alignment_end=end,
+        backend="numpy", max_cells_stage5=1 << 12,
+        flush_interval=int(rng.integers(32, 128)),
+    )
+    aln = pipeline.align_pair(s0, s1, pcfg)
+    # local alignments clamp at the empty alignment
+    if start == S.ANYWHERE and (end is None or end == S.ANYWHERE):
+        want = max(want, 0)
+    assert aln.raw_score == want, (
+        f"mode ({start.name}, {end and end.name}) params {params}: "
+        f"pipeline {aln.raw_score} != oracle {want}")
+    stage6.recheck(aln, s0, s1, params)
