@@ -72,9 +72,12 @@ _MM_LADDER = (
 )
 
 
-def _mm_cfg(h_max: int) -> wf.WavefrontConfig:
+def _mm_cfg(h_max: int, params: ScoreParams) -> wf.WavefrontConfig:
     """Smallest ladder config whose strip covers h_max (chaining above
-    the largest).  Compile keys are (config, scan length) only."""
+    the largest).  Compile keys are (config, scan length) only.  The
+    score parameters BAKE INTO the config — the kernels score from the
+    config, not from a params argument (a latent round-1 bug ran every
+    batched split at the default scores)."""
     base = _MM_LADDER[-1]
     for cfg in _MM_LADDER:
         if cfg.rows >= h_max:
@@ -82,7 +85,9 @@ def _mm_cfg(h_max: int) -> wf.WavefrontConfig:
             break
     return dataclasses.replace(
         base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-        track_best=False, store_lastcol=False)
+        track_best=False, store_lastcol=False,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_ext=params.gap_ext)
 
 
 def _split_height(h: int) -> int:
@@ -191,7 +196,7 @@ def _halves_dyn(dev: _DevSeqs, halves: list[_Half], rev: bool,
     (B, njq) logical last-row buses."""
     B = len(halves)
     h_max = max(x.h for x in halves)
-    cfg = _mm_cfg(h_max)
+    cfg = _mm_cfg(h_max, params)
     T = cfg.steps(njq)
     go, ge = params.gap_open, params.gap_ext
     # watchdog bound applies per device call = one chained strip
@@ -252,7 +257,7 @@ def _pallas_step_sliced(cfg: wf.WavefrontConfig, njq: int, hk: int,
     return step
 
 
-def _pallas_mm_cfg(h: int, njq: int):
+def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams):
     """Cost-aware ladder choice: the kernel computes ALL R strip rows
     regardless of h_true, so covering h with one oversized strip can
     waste up to ~6x compute vs chaining a smaller rung; weigh computed
@@ -267,7 +272,9 @@ def _pallas_mm_cfg(h: int, njq: int):
             best, best_cost = c, cost
     return dataclasses.replace(
         best, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-        track_best=False, store_lastcol=False)
+        track_best=False, store_lastcol=False,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_ext=params.gap_ext)
 
 
 @functools.lru_cache(maxsize=16)
@@ -288,7 +295,7 @@ def _halves_pallas(dev: _DevSeqs, halves: list[_Half], rev: bool,
     (B, chunks) grid serializes what async dispatch overlaps)."""
     h = halves[0].h
     assert all(x.h == h for x in halves)
-    cfg = _pallas_mm_cfg(h, njq)
+    cfg = _pallas_mm_cfg(h, njq, params)
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext
     plen = wf.padded_len(cfg, njq)
@@ -356,7 +363,7 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     (bounded compile variety; padded elements replay element 0)."""
     h = halves[0].h
     assert all(x.h == h for x in halves)
-    cfg = _pallas_mm_cfg(h, njq)
+    cfg = _pallas_mm_cfg(h, njq, params)
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext
     plen = wf.padded_len(cfg, njq)

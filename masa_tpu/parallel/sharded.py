@@ -111,12 +111,16 @@ def _sharded_run(
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     cfg = cfg or wf.WavefrontConfig(
-        track_best=True, store_lastcol=True,
         recurrence=Recurrence.SMITH_WATERMAN,
+    )
+    # the kernels score from the config: ALWAYS bake the caller's params
+    # in (a caller-supplied cfg with default scores must not silently
+    # override non-default params)
+    cfg = dataclasses.replace(
+        cfg, track_best=True, store_lastcol=True,
         match=params.match, mismatch=params.mismatch,
         gap_open=params.gap_open, gap_ext=params.gap_ext,
     )
-    cfg = dataclasses.replace(cfg, track_best=True, store_lastcol=True)
     R, L = cfg.rows, cfg.lanes
     m, n = len(seq0), len(seq1)
     n_strips = -(-m // R)

@@ -237,6 +237,9 @@ def run_part_stage1(
         recurrence=Recurrence.SMITH_WATERMAN,
         track_best=True,
         store_lastcol=flush_url is not None,
+        # the kernels score from the config, not the params argument
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_ext=params.gap_ext,
     )
 
     reader = None

@@ -97,3 +97,79 @@ def test_fuzz_pipeline_vs_oracle(seed):
         f"mode ({start.name}, {end and end.name}) params {params}: "
         f"pipeline {aln.raw_score} != oracle {want}")
     stage6.recheck(aln, s0, s1, params)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_sharded_vs_oracle(seed):
+    """Randomized mesh width / slab count / flush stride / pruning for
+    the full sharded alignment."""
+    from masa_tpu.ops.wavefront import WavefrontConfig
+    from masa_tpu.parallel.mesh import make_mesh
+    from masa_tpu.parallel.sharded import sharded_align
+
+    rng = np.random.default_rng(7000 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    m = int(rng.integers(80, 400))
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    s1 = s0[: int(rng.integers(60, m + 60))].copy()
+    if len(s1) > m:
+        s1 = np.concatenate([s1[:m], rng.choice(
+            bases, len(s1) - m)]).astype(np.uint8)
+    idx = rng.random(len(s1)) < 0.12
+    s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
+    params = ScoreParams(
+        match=int(rng.integers(1, 3)),
+        mismatch=-int(rng.integers(1, 4)),
+        gap_open=int(rng.integers(1, 4)),
+        gap_ext=int(rng.integers(1, 3)),
+    )
+    D = int(rng.choice([2, 3, 5, 8]))
+    # deliberately NO params in the cfg: the engine must bake the
+    # caller's params in (regression for the default-scores bug)
+    cfg = WavefrontConfig(alpha=4, rs=1, chunk=512, track_best=True,
+                          store_lastcol=True)
+    ref = oracle.dp_rows(s0, s1, params)
+    if ref.best <= 0:
+        return  # degenerate local alignment; nothing to trace
+    best, aln = sharded_align(
+        s0, s1, make_mesh(D), cfg, params,
+        prune=bool(rng.integers(2)),
+        flush_stride=int(rng.choice([1, 2, 4])),
+        traceback=str(rng.choice(["pipelined", "speculative"])),
+    )
+    assert best == aln.raw_score == ref.best
+    stage6.recheck(aln, s0, s1, params)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_stage4_strategies_differential(seed):
+    """The three Myers-Miller strategies and the batched reducer must
+    all satisfy the stage-5 invariant on the same random partitions
+    (the reference's mutually-redundant-strategies idea as a fuzz)."""
+    from masa_tpu.ops import batched_mm, myers_miller as mm
+
+    rng = np.random.default_rng(8000 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    m = int(rng.integers(100, 300))
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    s1 = s0.copy()
+    idx = rng.random(m) < 0.15
+    s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
+    params = ScoreParams(
+        match=int(rng.integers(1, 3)),
+        mismatch=-int(rng.integers(1, 4)),
+        gap_open=int(rng.integers(1, 4)),
+        gap_ext=int(rng.integers(1, 3)),
+    )
+    pcfg = pipeline.PipelineConfig(params=params, backend="numpy",
+                                   max_cells_stage5=1 << 18)
+    res, ep = pipeline.stage1_pass(s0, s1, pcfg)
+    cps = pipeline.stage2_march(s0, s1, pcfg, ep, res.specials)
+    mps = int(rng.choice([8, 16, 32]))
+    for strat in mm.SplitStrategy:
+        out = mm.reduce_partitions(s0, s1, cps, params, mps, strat)
+        aln = pipeline.stage5_emit(s0, s1, pcfg, out)
+        assert aln.raw_score == ep.score, strat
+    out = batched_mm.reduce_partitions_batched(s0, s1, cps, params, mps)
+    aln = pipeline.stage5_emit(s0, s1, pcfg, out)
+    assert aln.raw_score == ep.score
