@@ -173,3 +173,34 @@ def test_fuzz_stage4_strategies_differential(seed):
     out = batched_mm.reduce_partitions_batched(s0, s1, cps, params, mps)
     aln = pipeline.stage5_emit(s0, s1, pcfg, out)
     assert aln.raw_score == ep.score
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_oversize_and_weighted_split(seed):
+    """Chained column slabs (oversize path) with random widths and
+    custom scores must match the dense oracle."""
+    import tempfile
+
+    from masa_tpu.parallel.split import align_oversize
+
+    rng = np.random.default_rng(9000 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    m = int(rng.integers(150, 350))
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    s1 = s0.copy()
+    idx = rng.random(m) < 0.12
+    s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
+    params = ScoreParams(
+        match=int(rng.integers(1, 3)),
+        mismatch=-int(rng.integers(1, 4)),
+        gap_open=int(rng.integers(1, 4)),
+        gap_ext=int(rng.integers(1, 3)),
+    )
+    ref = oracle.dp_rows(s0, s1, params)
+    if ref.best <= 0:
+        return
+    with tempfile.TemporaryDirectory() as td:
+        best, aln = align_oversize(
+            s0, s1, int(rng.integers(60, 140)), td, params,
+            max_cells_stage5=1 << 12)
+    assert best == aln.raw_score == ref.best

@@ -42,6 +42,11 @@ CASES = [
     # differential: the classic Myers-Miller strategy must agree
     ("pair1", ["--stage-4-strategy", "ORIGINAL_MM"],
      (793, 1366, 77, 44, 105)),
+    # non-default scores (regression: kernel configs silently ran the
+    # default scores in several paths); oracle-verified 2377
+    ("pair1", ["--match", "2", "--mismatch", "-1", "--gap-open", "4",
+               "--gap-ext", "1"],
+     (2377, 1363, 80, 41, 105)),
     ("pair2", [], (548, 750, 25, 17, 38)),
     # global alignment across unrelated flanks: NEGATIVE optimal score
     # (regression: the best-score admission filter must not eat it)
