@@ -204,3 +204,66 @@ def test_fuzz_oversize_and_weighted_split(seed):
             s0, s1, int(rng.integers(60, 140)), td, params,
             max_cells_stage5=1 << 12)
     assert best == aln.raw_score == ref.best
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_crash_resume_anywhere(seed, tmp_path):
+    """Crash-monkey: kill the persistent runner after a random number of
+    compute calls, re-run the same job, and require the final alignment
+    to equal an uninterrupted run's (stage-level and mid-stage resume
+    paths chosen at random by where the crash lands)."""
+    from masa_tpu.core.job import Job, JobConfig
+    from masa_tpu.stages import core as score, runner
+
+    rng = np.random.default_rng(9500 + seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    m = int(rng.integers(200, 500))
+    s0 = rng.choice(bases, m).astype(np.uint8)
+    s1 = s0.copy()
+    idx = rng.random(m) < 0.12
+    s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
+    params = ScoreParams(
+        match=int(rng.integers(1, 3)),
+        mismatch=-int(rng.integers(1, 4)),
+        gap_open=int(rng.integers(1, 4)),
+        gap_ext=int(rng.integers(1, 3)),
+    )
+
+    def cfg(tag):
+        return JobConfig(work_dir=str(tmp_path / tag), params=params,
+                         ram_limit=1 << 20, disk_limit=1 << 20,
+                         stage4_max_partition=16, backend="numpy",
+                         stage5_max_cells=1 << 12)
+
+    clean = runner.align_job(Job(cfg("clean")), s0, s1,
+                             log=lambda *a, **k: None)
+
+    crash_after = int(rng.integers(1, 12))
+    calls = {"n": 0}
+    orig = score.reverse_pass_and_match
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == crash_after:
+            raise KeyboardInterrupt("crash-monkey")
+        return orig(*a, **k)
+
+    score.reverse_pass_and_match = dying
+    try:
+        try:
+            runner.align_job(Job(cfg("crashy")), s0, s1,
+                             log=lambda *a, **k: None)
+            crashed = False
+        except KeyboardInterrupt:
+            crashed = True
+    finally:
+        score.reverse_pass_and_match = orig
+
+    resumed = runner.align_job(Job(cfg("crashy")), s0, s1,
+                               log=lambda *a, **k: None)
+    assert resumed.raw_score == clean.raw_score
+    assert resumed.gaps == clean.gaps
+    assert (resumed.start, resumed.end) == (clean.start, clean.end)
+    # the crash must actually have happened for most seeds; if the run
+    # finished first, the resume path above degraded to artifact reuse
+    assert crashed or calls["n"] < crash_after
