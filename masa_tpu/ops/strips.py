@@ -199,6 +199,7 @@ def run_partition(
     specials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     cells = 0
     pruned_cells = 0
+    prune_skip = 0   # groups left to run unwindowed without a re-check
     neg_pack = None
     dev_best = None  # on-device (score, i, j) accumulator
     # Two-phase best tracking: phase 1 tracks per-slot MAX only (~14%
@@ -272,19 +273,30 @@ def run_partition(
                 and first_col_reader is None and not cfg.store_lastcol
                 and stop_check is None and blocks_sink is None
                 and not cfg.interpret):
-            if dev_best is not None:
-                best = int(dev_best[0])
-            busmax0 = np.asarray(wf.chunk_max_device(bus_h, ng, C))
-            ich0, _ = _border_vec(col_init, params, 1, i0 + 1, first_col)
-            wl0, wr0 = pruning.pruning_window(
-                busmax0, best, i0, m, nj_out, C, params,
-                border_max=int(ich0.max()),
-            )
-            # windowed strips only pay once the window is SMALL: the
-            # unfused windowed path costs ~2-3 s of dispatch/sync per
-            # strip on the tunnel, so the saved compute must exceed that
-            # (measured: a 6.7%-pruned 1M run was 24 s SLOWER windowed)
-            wide = wl0 < wr0 and (wr0 - wl0) * 8 >= ng
+            # the busmax pull is a blocking sync (it drains the queued
+            # groups); while the window stays essentially full, skipping
+            # a few checks is exact-safe (a skipped check just means no
+            # pruning for that group) and keeps the pipeline deep
+            if prune_skip > 0:
+                prune_skip -= 1
+            else:
+                if dev_best is not None:
+                    best = int(dev_best[0])
+                busmax0 = np.asarray(wf.chunk_max_device(bus_h, ng, C))
+                ich0, _ = _border_vec(col_init, params, 1, i0 + 1,
+                                      first_col)
+                wl0, wr0 = pruning.pruning_window(
+                    busmax0, best, i0, m, nj_out, C, params,
+                    border_max=int(ich0.max()),
+                )
+                # windowed strips only pay once the window is SMALL: the
+                # unfused windowed path costs ~2-3 s of dispatch/sync per
+                # strip on the tunnel, so the saved compute must exceed
+                # it (measured: a 6.7%-pruned 1M run was 24 s SLOWER
+                # windowed)
+                wide = wl0 < wr0 and (wr0 - wl0) * 8 >= ng
+                if wide and (wr0 - wl0) * 8 >= ng * 7:
+                    prune_skip = 3
         if (backend == "pallas" and hs == R and (not prune or wide)
                 and first_col_reader is None and not cfg.store_lastcol
                 and stop_check is None and blocks_sink is None
