@@ -37,12 +37,18 @@ def align(seq0, seq1, *, alignment_start="*", alignment_end=None,
     from masa_tpu.stages import pipeline
 
     def load(x):
-        if isinstance(x, str) and ("\n" not in x) and (
-                x.endswith((".fa", ".fasta", ".fna")) or
-                __import__("os").path.exists(x)):
-            from masa_tpu.biology.sequence import Sequence
+        if isinstance(x, str) and "\n" not in x:
+            import os
 
-            return Sequence.from_file(x).data()
+            path_like = (x.endswith((".fa", ".fasta", ".fna"))
+                         or os.sep in x)
+            if os.path.exists(x):
+                from masa_tpu.biology.sequence import Sequence
+
+                return Sequence.from_file(x).data()
+            if path_like:
+                # never silently align a pathname's bytes
+                raise FileNotFoundError(x)
         if isinstance(x, np.ndarray):
             return np.asarray(x, np.uint8)
         return encode_sequence(x)

@@ -223,12 +223,12 @@ def main(argv=None) -> int:
             parser.error(f"--fork: expected N or W1,..,Wn, "
                          f"got {args.fork!r}")
         if len(fw) == 1:
-            # --fork N: weight the N slabs by probed device throughput
-            # (the reference's getGPUWeights feeding fork_multi_process)
-            from masa_tpu.utils.devices import device_weights
-
-            w = device_weights(probe=True)
-            fw = [w[k % len(w)] for k in range(int(fw[0]))]
+            # --fork N: uniform slabs.  The parent must NOT touch JAX
+            # before spawning (each worker owns its own runtime, and a
+            # probe here would claim the device the workers need);
+            # heterogeneous weights come from --fork W1,..,Wn or the
+            # library's Aligner.get_fork_weights probe.
+            fw = [1.0] * int(fw[0])
         from masa_tpu.parallel.fork import run_fork
         from masa_tpu.stages.core import default_backend
 

@@ -306,7 +306,9 @@ def run_partition(
                 nb = ((i0 // special_every) + 1) * special_every
                 g = min(g, (nb - i0) // R)
             if prune:
-                # reconsider the window at least every 8 strips
+                # bound the fused group so the window gets reconsidered;
+                # with prune_skip the re-check can lag up to 4 groups
+                # (32 strips) while the window stays essentially full
                 g = min(g, 8)
             if g >= 1:
                 if cfg.track_best and not two_phase and dev_best is None:

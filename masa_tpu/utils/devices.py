@@ -19,13 +19,35 @@ def list_devices() -> list[dict]:
     return out
 
 
-def device_weights(probe: bool = False, reps: int = 2) -> list[float]:
+_BURST = None
+
+
+def _probe_burst():
+    """Module-level jitted probe (a fresh jit per call would retrace and
+    recompile on every invocation — a remote compile costs 10-90 s)."""
+    global _BURST
+    if _BURST is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def burst(x):
+            for _ in range(8):
+                x = jnp.tanh(x @ x)
+            return x
+
+        _BURST = burst
+    return _BURST
+
+
+def device_weights(probe: bool = False, reps: int = 3) -> list[float]:
     """Relative throughput weights for column splitting (getGPUWeights
     feeding --fork, src/cuda_util.cpp:191).  Uniform by default (a
     homogeneous slice); ``probe=True`` times a small matmul burst on
-    every device and weights by measured throughput — the TPU-native
-    analogue of the reference's per-GPU bandwidth probe, for
-    heterogeneous or contended device sets."""
+    every device and weights by measured min-of-N throughput — the
+    TPU-native analogue of the reference's per-GPU bandwidth probe.
+    Caveat: over a tunneled backend the measurement includes dispatch
+    round-trip jitter; use explicit weights when exactness matters."""
     import jax
 
     devs = jax.devices()
@@ -36,21 +58,14 @@ def device_weights(probe: bool = False, reps: int = 2) -> list[float]:
 
     import jax.numpy as jnp
 
-    @jax.jit
-    def burst(x):
-        for _ in range(8):
-            x = jnp.tanh(x @ x)
-        return x
-
+    burst = _probe_burst()
     weights = []
     for d in devs:
         x = jax.device_put(jnp.ones((256, 256), jnp.float32), d)
-        burst(x).block_until_ready()          # compile/warm
-        best = None
+        float(burst(x)[0, 0])                 # compile/warm (the scalar
+        best = None                           # pull forces completion)
         for _ in range(reps):
             t0 = time.time()
-            # scalar pull forces completion (block_until_ready is not
-            # reliable over tunneled backends)
             float(burst(x)[0, 0])
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

@@ -133,3 +133,13 @@ class TestTopLevelAPI:
         a = masa_tpu.align(str(p0), str(p1))
         b = masa_tpu.align(s0, s1)
         assert a.raw_score == b.raw_score
+
+    def test_align_missing_path_raises(self, tmp_path):
+        import pytest
+
+        import masa_tpu
+
+        with pytest.raises(FileNotFoundError):
+            masa_tpu.align(str(tmp_path / "missing.fa"), "ACGT")
+        with pytest.raises(FileNotFoundError):
+            masa_tpu.align("data/chr1.seq", "ACGT")
