@@ -231,7 +231,6 @@ def _pallas_step_sliced(cfg: wf.WavefrontConfig, njq: int, hk: int,
     (cfg, width bucket, strip height) — heights are 8-per-octave
     bucketed, so the compile set stays small."""
     plen = wf.padded_len(cfg, njq)
-    lane = (hk - 1) // cfg.alpha
     R = cfg.rows
 
     @functools.partial(jax.jit, donate_argnums=(6, 7))

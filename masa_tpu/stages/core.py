@@ -473,8 +473,6 @@ def reverse_march(
     while True:
         if sw_anywhere and cp.score <= 0:
             break
-        if cp.i == 0:
-            break
         if cp.i == 0 or (cp.j == 0 and not sw_anywhere):
             break
 

@@ -32,9 +32,15 @@ def _probe_burst():
 
         @jax.jit
         def burst(x):
-            for _ in range(8):
-                x = jnp.tanh(x @ x)
-            return x
+            # int32 VPU burst matching the DP op mix (the wavefront cell
+            # update is max/add/select chains on int32 vectors, not f32
+            # matmul — weighting an int32-bound workload by MXU f32
+            # throughput mis-ranks heterogeneous devices)
+            y = x
+            for _ in range(48):
+                y = jnp.maximum(y + 3, x - y)
+                y = jnp.where(y > 0, y - 2, y + 1)
+            return y
 
         _BURST = burst
     return _BURST
@@ -61,7 +67,7 @@ def device_weights(probe: bool = False, reps: int = 3) -> list[float]:
     burst = _probe_burst()
     weights = []
     for d in devs:
-        x = jax.device_put(jnp.ones((256, 256), jnp.float32), d)
+        x = jax.device_put(jnp.ones((256, 512), jnp.int32), d)
         float(burst(x)[0, 0])                 # compile/warm (the scalar
         best = None                           # pull forces completion)
         for _ in range(reps):

@@ -73,12 +73,11 @@ def main():
     pcfg = pipeline.PipelineConfig(params=params)
     res, ep = pipeline.stage1_pass(ss, st, pcfg)
     cps2 = pipeline.stage2_march(ss, st, pcfg, ep, res.specials)
-    saved = (bmm._SCAN_S_PER_ROWSTEP, bmm._DISPATCH_S)
+    saved = bmm._DYN_H_MAX
     try:
-        # force the mosaic engine: dyn expensive, per-pair dispatch huge
-        bmm._SCAN_S_PER_ROWSTEP = 1e3
-        bmm._DISPATCH_S = 1e3  # makes per-pair cost dominate; mosaic has
-        #  fewer dispatches so it wins every level
+        # force the Mosaic engine on every level (h_max > 0 beats the
+        # threshold, so _run_level never falls back to the dyn scan)
+        bmm._DYN_H_MAX = 0
         t0 = time.time()
         out = bmm.reduce_partitions_batched(ss, st, cps2, params, 16)
         aln = pipeline.stage5_emit(ss, st, pcfg, out)
@@ -86,7 +85,7 @@ def main():
         print(f"mosaic-engine: {len(out)} cps exact in "
               f"{time.time()-t0:.1f}s", flush=True)
     finally:
-        bmm._SCAN_S_PER_ROWSTEP, bmm._DISPATCH_S = saved
+        bmm._DYN_H_MAX = saved
 
     # ---- 2. stage-1 timings -------------------------------------------
     store = {}
