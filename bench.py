@@ -95,7 +95,7 @@ def main():
     gcups = res.cells / dt / 1e9
 
     # ---- full six-stage alignment (stages 1-6 wall clock) --------------
-    full_s = full_gcups = full_score = None
+    full_s = full_gcups = full_score = stage_s = None
     run_full = os.environ.get("MASA_BENCH_FULL", "1") != "0"
     if on_tpu and gcups < 20:
         # shared chip degraded (memory: throughput drops 3-5x for hours);
@@ -117,18 +117,33 @@ def main():
         # the comparable one (the reference's published times are
         # steady-state too) — the cold time is kept in detail
         full_cold = None
+        stage_s = None
         for attempt in range(2 if on_tpu else 1):
             wd = tempfile.mkdtemp(prefix="masa_bench_")
             try:
                 jcfg = JobConfig(work_dir=wd, params=params)
                 job = Job(jcfg)
                 t0 = time.time()
-                aln = runner.align_job(job, s0[:fm], h1,
-                                       log=lambda *a, **k: None)
+                marks = [time.time()]
+                names = []
+
+                def log(*a, **k):
+                    # per-stage boundaries from the runners' completion
+                    # lines (each stage logs once at its end)
+                    msg = " ".join(str(x) for x in a)
+                    if msg.startswith("stage") and ("in " in msg
+                                                    or "wrote" in msg):
+                        marks.append(time.time())
+                        names.append(msg.split(":")[0])
+
+                aln = runner.align_job(job, s0[:fm], h1, log=log)
                 fdt = time.time() - t0
                 if full_cold is None:
                     full_cold = fdt
-                full_s = fdt if full_s is None else min(full_s, fdt)
+                if full_s is None or fdt < full_s:
+                    full_s = fdt
+                    stage_s = {nm: round(tb - ta, 2) for nm, ta, tb in
+                               zip(names, marks, marks[1:])}
                 full_score = aln.raw_score
             finally:
                 shutil.rmtree(wd, ignore_errors=True)
@@ -153,6 +168,7 @@ def main():
             "full_score": full_score,
             "full_vs_baseline_s": (round(BASELINE_FULL_S / full_s, 3)
                                    if full_s is not None else None),
+            "full_stage_s": stage_s,
         },
     }))
 

@@ -251,10 +251,13 @@ def main(argv=None) -> int:
             parser.error(
                 "--split with weights only supports local alignment "
                 "(--alignment-start '*' and no --alignment-end)")
+        import time as _time
+
         from masa_tpu.parallel.split import (
-            auto_urls, run_part_stage1, split_points,
+            auto_urls, pipelined_traceback, run_part_stage1, split_points,
         )
-        from masa_tpu.stages.core import default_backend
+        from masa_tpu.stages import pipeline as _pl
+        from masa_tpu.stages.core import adaptive_config, default_backend
 
         # strips-layer backends are scan/pallas; 'numpy' has no streamed-
         # border path, so it degrades to the scan twin with a warning
@@ -266,18 +269,46 @@ def main(argv=None) -> int:
             backend = default_backend()
         points = split_points(len(seq1), split_weights)
         urls = auto_urls(jcfg.work_dir, len(split_weights))
+        score_only = args.stage_1 or args.no_flush
+        kcfg = adaptive_config(len(seq0))
+        iv = 0
+        if not score_only:
+            iv = job.calculate_flush_intervals(
+                len(seq0), len(seq1), align_to=kcfg.rows)[0]
+        t0 = _time.time()
         parts = []
         for k in range(len(split_weights)):
             parts.append(run_part_stage1(
-                seq0, seq1, k, points, params,
+                seq0, seq1, k, points, params, cfg=kcfg,
                 load_url=urls[k - 1] if k > 0 else None,
                 flush_url=urls[k] if k < len(split_weights) - 1 else None,
                 backend=backend,
                 buffered=False,
+                special_every=iv,
             ))
+        t1 = _time.time()
         b = max(p.best for p in parts)
-        print(f"stage1 (weighted column split "
-              f"{[p.j1 - p.j0 for p in parts]}): best={b}")
+        if score_only:
+            print(f"stage1 (weighted column split "
+                  f"{[p.j1 - p.j0 for p in parts]}): best={b}")
+            return 0
+        # full pipelined alignment over the weighted slabs, with the
+        # standard work-dir artifact set (libmasa.cpp:659-696 + 1351-1394)
+        cps = pipelined_traceback(seq0, seq1, parts, params,
+                                  backend=backend)
+        pcfg = _pl.PipelineConfig(params=params,
+                                  max_cells_stage5=jcfg.stage5_max_cells)
+        cps = _pl.stage3_densify(seq0, seq1, pcfg, cps)
+        aln = _pl.stage5_emit(seq0, seq1, pcfg, cps)
+        fmt = (args.output_format if args.output_format != "binary"
+               else "text")
+        runner.finish_alignment(
+            job, seq0, seq1, aln, cps=cps, fmt=fmt, log=log,
+            elapsed={"stage1": t1 - t0, "stage2": _time.time() - t1})
+        print(f"alignment score: {aln.raw_score}  "
+              f"(weighted column split {[p.j1 - p.j0 for p in parts]}; "
+              f"matches={aln.matches} mismatches={aln.mismatches} "
+              f"gaps={aln.gap_opens}/{aln.gap_extensions})")
         return 0
     if int(split_weights[0]):
         if nonlocal_mode:
@@ -289,16 +320,30 @@ def main(argv=None) -> int:
 
         initialize_distributed(args.coordinator, args.num_hosts,
                                args.host_id)
+        from masa_tpu.stages.core import default_backend as _dbk
+
         nsh = int(split_weights[0])
         mesh = make_mesh(nsh)
+        sh_backend = "scan" if args.backend == "numpy" else _dbk()
         if args.stage_1 or args.no_flush:
             res = sharded_stage1(seq0, seq1, mesh, params=params,
+                                 backend=sh_backend,
                                  prune=not args.no_block_pruning)
             print(f"stage1 (sharded over {nsh} devices): "
                   f"best={res.best}")
             return 0
+        import time as _time
+
+        t0 = _time.time()
         b, aln = sharded_align(seq0, seq1, mesh, params=params,
-                               prune=not args.no_block_pruning)
+                               backend=sh_backend,
+                               prune=not args.no_block_pruning,
+                               max_cells_stage5=jcfg.stage5_max_cells,
+                               state_dir=job.path("sharded"))
+        fmt = (args.output_format if args.output_format != "binary"
+               else "text")
+        runner.finish_alignment(job, seq0, seq1, aln, fmt=fmt, log=log,
+                                elapsed={"stage1": _time.time() - t0})
         print(f"alignment score: {aln.raw_score}  "
               f"(sharded over {nsh} devices; matches={aln.matches} "
               f"mismatches={aln.mismatches} "
@@ -327,6 +372,9 @@ def main(argv=None) -> int:
             backend=default_backend() if args.backend == "auto"
             else args.backend,
         )
+        fmt = (args.output_format if args.output_format != "binary"
+               else "text")
+        runner.finish_alignment(job, seq0, seq1, aln, fmt=fmt, log=log)
         print(f"alignment score: {aln.raw_score}  "
               f"(matches={aln.matches} mismatches={aln.mismatches} "
               f"gaps={aln.gap_opens}/{aln.gap_extensions})")

@@ -123,6 +123,11 @@ class TPUAligner(Aligner):
         def on_row(r, bus_h, bus_f):
             mgr.dispatch_row(p.i0 + r, bus_h, bus_f)
 
+        on_row_dev = None
+        if mgr.special_dev_sink is not None:
+            on_row_dev = lambda r, dh, df: mgr.dispatch_row_dev(
+                p.i0 + r, dh, df)
+
         def stop(out, rows_done, strip_rows, col_off):
             if cfg.track_best and "best_v" in out:
                 s, bi, bj = wf.resolve_best(out["best_v"], out["best_t"])
@@ -170,6 +175,10 @@ class TPUAligner(Aligner):
                     s1x = wf.dev_seq(self._seq1, wf.B_SENTINEL, pad1)
                     dev_slices = (s0x, p.i0, s1x, p.j0)
 
+        # device-resident goal matching: the cut stays on device, so the
+        # reverse pass's last row must too (no O(n) pull per hop)
+        dev_match = mgr.goal_base_dev is not None
+
         res = strips.run_partition(
             cfg, sub0, sub1, mgr.params,
             mgr.get_first_row_init_type(), mgr.get_first_column_init_type(),
@@ -182,12 +191,17 @@ class TPUAligner(Aligner):
             prune=mgr.must_prune_blocks(),
             pad_rows=mgr.pad_rows,
             blocks_sink=blocks,
-            want_last_row=mgr.must_dispatch_last_row(),
+            want_last_row=mgr.must_dispatch_last_row() and not dev_match,
             dev_slices=dev_slices,
+            on_special_row_dev=on_row_dev if iv else None,
+            want_dev_last=dev_match,
         )
         self.stats.cells += res.cells
         self.stats.pruned_cells += res.pruned_cells
         self.stats.partitions += 1
+        if dev_match and res.dev_last is not None:
+            mgr.dispatch_last_row_device(p.i1, res.dev_last[0],
+                                         res.dev_last[1])
         if res.last_h is not None:
             mgr.dispatch_last_row(p.i1, res.last_h, res.last_f)
         if cfg.store_lastcol:

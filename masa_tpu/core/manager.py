@@ -22,6 +22,7 @@ from masa_tpu.types import (
     Crosspoint,
     CrosspointType,
     InitType,
+    MatchResult,
     MatchType,
     Partition,
     Recurrence,
@@ -59,6 +60,11 @@ class AlignerManager:
         self.best: tuple[int, int, int] = (-INF, 0, 0)
         self.goal_score: int | None = None
         self.goal_base_row = None     # (h, f) stored cut for goal matching
+        # device twin of goal_base_row: (dev_h, dev_f, cj, W1) — the cut
+        # stays on device and matching runs there (wf.goal_match_device)
+        self.goal_base_dev = None
+        self.special_dev_sink = None  # DevRowCache protocol (put_dev/
+        #   attach_border): retains special-row bus snapshots on device
         self.reverse_f0: int | None = None  # exact border gap at f[0] of
         #   the dispatched last row (reverse passes pin continuing gaps,
         #   stages.core._border_f_value semantics)
@@ -174,10 +180,54 @@ class AlignerManager:
         f_full[0] = cf
         h_full[1:] = bus_h
         f_full[1:] = bus_f
+        if self.special_dev_sink is not None:
+            self.special_dev_sink.attach_border(row, ch, cf)
         if self.special_rows is not None:
             self.special_rows.put(row, h_full, f_full)
         if self.goal_base_row is not None:
             self._match_goal(row, h_full, f_full)
+
+    def dispatch_row_dev(self, row: int, dev_h, dev_f) -> None:
+        """Device snapshot of a special row (the bus the packed pull
+        retains); the host border attaches when the decoded row arrives
+        through dispatch_row."""
+        if self.special_dev_sink is not None:
+            self.special_dev_sink.put_dev(row, dev_h, dev_f)
+
+    def dispatch_last_row_device(self, row: int, bus_h, bus_f) -> None:
+        """The device twin of dispatch_last_row + _match_goal: match the
+        reverse pass's device last-row bus against the device-cached cut
+        (wf.goal_match_device) and pull only the 3-scalar verdict."""
+        from masa_tpu.ops import wavefront as wf
+        import jax.numpy as jnp
+
+        if self.goal_base_dev is None:
+            return
+        dev_h, dev_f, cj, W1 = self.goal_base_dev
+        rev0h = self._col_border(row)[0]
+        rev0f = (self.reverse_f0 if self.reverse_f0 is not None
+                 else self._col_border(row)[1])
+        out = np.asarray(wf.goal_match_device(
+            dev_h, dev_f, bus_h, bus_f, jnp.int32(cj),
+            jnp.int32(self.goal_score), jnp.int32(rev0h),
+            jnp.int32(rev0f), W1=W1, go=self.params.gap_open))
+        status, k, score = (int(x) for x in out)
+        if status == 4:
+            mres = MatchResult(False, -1, 0, MatchType.ALIGNED)
+        elif status in (0, 1):
+            mres = MatchResult(True, k, score,
+                               MatchType.ALIGNED if status == 0
+                               else MatchType.GAPPED)
+        else:
+            mres = MatchResult(False, k, 0,
+                               MatchType.ERROR_SUM_MATCH if status == 2
+                               else MatchType.ERROR_SUM_GAP)
+        self.last_match_result = mres
+        if mres.found:
+            t = (CrosspointType.MATCH if mres.type == MatchType.ALIGNED
+                 else CrosspointType.GAP_2)
+            self._goal_cell = Crosspoint(row, mres.k, int(mres.score), t)
+            self._stopped = True
 
     def dispatch_last_row(self, row: int, last_h, last_f) -> None:
         h_full = np.asarray(last_h, np.int64)

@@ -354,6 +354,12 @@ def _mosaic_step(cfg: wf.WavefrontConfig, njq: int, hk: int, B: int):
     return step
 
 
+import os as _os
+import time as _time
+
+_TRACE = bool(_os.environ.get("MASA_TPU_STAGE4_TRACE"))
+
+
 def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
                    params: ScoreParams, njq: int):
     """Equal-height halves as ONE batched Mosaic dispatch per chained
@@ -370,18 +376,34 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     pad = [halves[0]] * (Bb - len(halves))
     grp = list(halves) + pad
     s0d, s1d = dev.views(rev)
+    t0 = _time.time()
     i0s = jnp.asarray([x.i0 for x in grp], jnp.int32)
     j0s = jnp.asarray([x.j0 for x in grp], jnp.int32)
     ccodes = jnp.asarray([x.col_code for x in grp], jnp.int32)
     rcodes = jnp.asarray([x.row_code for x in grp], jnp.int32)
     bh, bf = _dyn_bus_init(plen, go, ge)(rcodes)
     prep = _mosaic_prep(cfg, njq, go, ge)
+    t1 = _time.time()
+    tp = ts = 0.0
     for s0r in range(0, h, R):
         hk = min(R, h - s0r)
+        ta = _time.time()
         a_all, ih_all, ie_all, corners, b_all = prep(
             s0d, s1d, i0s, j0s, jnp.int32(s0r), ccodes)
+        if _TRACE:
+            jax.block_until_ready(a_all)
+        tb = _time.time()
         bh, bf = _mosaic_step(cfg, njq, hk, Bb)(
             a_all, b_all, bh, bf, ih_all, ie_all, corners)
+        if _TRACE:
+            jax.block_until_ready(bh)
+            np.asarray(bh[0, :1])
+        tp += tb - ta
+        ts += _time.time() - tb
+    if _TRACE:
+        print(f"    [mosaic B={len(halves)}->{Bb} h={h} hk_R={R} "
+              f"njq={njq} init={t1-t0:.2f} prep={tp:.2f} "
+              f"step={ts:.2f}", flush=True)
     return bh[: len(halves), :njq], bf[: len(halves), :njq]
 
 
@@ -540,8 +562,10 @@ def reduce_partitions_batched(
         next_work = []
         for off in range(0, len(pending), batch_cap):
             sl = slice(off, off + batch_cap)
+            t_f0 = _time.time()
             fh, ff = _run_level(dev, fwd_halves[sl], False, params, njq)
             rh, rf = _run_level(dev, rev_halves[sl], True, params, njq)
+            t_f1 = _time.time()
 
             mm_meta = meta[sl]
             fwd0 = np.empty((len(mm_meta), 2), np.int32)
@@ -562,9 +586,14 @@ def reduce_partitions_batched(
                 goals[r] = c1.score - c0.score + (
                     go if c1.type != CrosspointType.MATCH else 0)
 
+            t_m0 = _time.time()
             res = np.asarray(_match_engine(njq, go)(
                 fh, ff, rh, rf, jnp.asarray(fwd0), jnp.asarray(rev0),
                 jnp.asarray(ws), jnp.asarray(goals)))
+            if _TRACE:
+                print(f"    [level {level}] halves={t_f1-t_f0:.2f} "
+                      f"meta={t_m0-t_f1:.2f} match={_time.time()-t_m0:.2f}",
+                      flush=True)
             found, idxs, scrs, typs = (res[0], res[1], res[2], res[3])
             for r, (c0, c1, rm) in enumerate(mm_meta):
                 if not found[r]:

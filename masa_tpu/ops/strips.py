@@ -53,6 +53,7 @@ class PartitionResult:
     specials: dict[int, tuple[np.ndarray, np.ndarray]]
     cells: int = 0
     pruned_cells: int = 0
+    dev_last: tuple | None = None  # device (bus_h, bus_f), want_dev_last
 
 
 def _border_vec(init, params, length, start, custom):
@@ -87,6 +88,8 @@ def run_partition(
     blocks_sink: Callable | None = None,
     want_last_row: bool = True,
     dev_slices: tuple | None = None,
+    on_special_row_dev: Callable | None = None,
+    want_dev_last: bool = False,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -232,7 +235,11 @@ def run_partition(
             else np.asarray(bus[:nj_out]).astype(np.int64)
 
     # Deferred special-row delivery: the packed bytes copy to the host
-    # asynchronously while the next strip computes; one row in flight.
+    # asynchronously while later strips compute.  ALL pending rows stay
+    # in flight (each holds a packed ~nj/2-byte device buffer + a bus
+    # snapshot, bounded by m/special_every rows) and deliver at loop end
+    # — blocking mid-loop on the previous row's transfer costs seconds
+    # per emit on a tunneled chip.
     deferred = []
 
     def deliver_deferred():
@@ -245,12 +252,31 @@ def run_partition(
             else:
                 specials[r] = (bh, bf)
 
+    # each deferred row retains two bus snapshots in HBM; cap the queue
+    # by bytes so chromosome-scale runs stay well inside device memory
+    defer_cap = max(1, (2 << 30) // max(blen * 8, 1))
+
     def emit_special(r, bus_h, bus_f):
         if packed_pull:
-            deliver_deferred()
-            deferred.append((r, wf.pull_row_delta_start(bus_h, nj_out),
-                             wf.pull_row_delta_start(bus_f, nj_out)))
+            while len(deferred) >= defer_cap:
+                r0_, hh, hf = deferred.pop(0)
+                bh = wf.pull_row_delta_finish(hh)
+                bf = wf.pull_row_delta_finish(hf)
+                if on_special_row:
+                    on_special_row(r0_, bh, bf)
+                else:
+                    specials[r0_] = (bh, bf)
+            handle_h = wf.pull_row_delta_start(bus_h, nj_out)
+            handle_f = wf.pull_row_delta_start(bus_f, nj_out)
+            if on_special_row_dev is not None:
+                # the packed pull already retains device snapshots for
+                # escape re-fetches — share them with the device cache
+                on_special_row_dev(r, handle_h[1], handle_f[1])
+            deferred.append((r, handle_h, handle_f))
         else:
+            if on_special_row_dev is not None:
+                on_special_row_dev(r, wf._device_copy(bus_h),
+                                   wf._device_copy(bus_f))
             bh, bf = pull(bus_h), pull(bus_f)
             if on_special_row:
                 on_special_row(r, bh, bf)
@@ -576,6 +602,8 @@ def run_partition(
         # 2 x O(n) device->host pull
         last_h = last_f = None
 
+    dev_last = (bus_h, bus_f) if want_dev_last else None
+
     return PartitionResult(
         last_h=last_h,
         last_f=last_f,
@@ -587,4 +615,5 @@ def run_partition(
         specials=specials,
         cells=cells,
         pruned_cells=pruned_cells,
+        dev_last=dev_last,
     )

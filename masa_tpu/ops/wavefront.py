@@ -925,6 +925,49 @@ def pull_row_delta_finish(handle) -> np.ndarray:
     return _decode_delta(packed, snap, nj)
 
 
+@functools.partial(jax.jit, static_argnames=("W1", "go"))
+def goal_match_device(cut_h, cut_f, rev_h, rev_f, cj, goal, rev0h, rev0f,
+                      W1: int, go: int):
+    """AlignerUtils::matchColumn ON DEVICE against a device-resident
+    stage-1 special row — the hot stage-2 matching without pulling either
+    row to the host (the reference's findGoalCell,
+    common/AlignerManager.cpp:625-656, chunked through host memory).
+
+    cut_h/cut_f: the stored forward cut, logical index j-1 -> value at
+    column j (a retained bus snapshot).  rev_h/rev_f: the reverse pass's
+    last-row bus, logical index k-1 -> value at reverse column k.  Match
+    index k = 0..W1-1 maps to column j = cj - k; requires
+    j_low = cj - (W1-1) >= 1 (the j=0 border case goes via the host
+    path).  Returns int32 (status, k, score) with status 0=aligned,
+    1=gapped, 2=err-sum-match, 3=err-sum-gap, 4=no-stop — exactly
+    models.scoring.match_column's outcome set."""
+    W = W1 - 1
+    fwd_h = jnp.flip(jax.lax.dynamic_slice(cut_h, (cj - W1 + 1,), (W1,)))
+    fwd_f = jnp.flip(jax.lax.dynamic_slice(cut_f, (cj - W1 + 1,), (W1,)))
+    rh = jnp.concatenate([rev0h.reshape(1), rev_h[:W]]).astype(jnp.int32)
+    rf = jnp.concatenate([rev0f.reshape(1), rev_f[:W]]).astype(jnp.int32)
+    sum_m = fwd_h.astype(jnp.int32) + rh
+    sum_g = fwd_f.astype(jnp.int32) + rf + jnp.int32(go)
+    hit = (sum_m == goal) | (sum_g == goal)
+    over = (sum_m > goal) | (sum_g > goal)
+    stop = hit | over
+    k = jnp.arange(W1, dtype=jnp.int32)
+    idx = jnp.where(stop, k, jnp.int32(W1)).min()
+    idx_c = jnp.clip(idx, 0, W1 - 1)
+    m_at = sum_m[idx_c] == goal
+    g_at = sum_g[idx_c] == goal
+    is_hit = (idx < W1) & (m_at | g_at)
+    status = jnp.where(
+        idx >= W1, 4,
+        jnp.where(is_hit,
+                  jnp.where(m_at, 0, 1),
+                  jnp.where(sum_m[idx_c] > goal, 2, 3)))
+    score = jnp.where(m_at, fwd_h[idx_c], fwd_f[idx_c]).astype(jnp.int32)
+    kout = jnp.where(idx >= W1, -1, idx_c)
+    return jnp.stack([status, kout,
+                      jnp.where(is_hit, score, 0)]).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nj", "h_true", "B"))
 def batched_strip_pallas(cfg: WavefrontConfig, a_all, b_all, bus_h_all,
                          bus_f_all, ih_all, ie_all, corners,

@@ -102,17 +102,36 @@ def _sharded_run(
     prune: bool,
     flush_stride: int,
     capture_cols: bool,
+    state_dir: str | None = None,
+    chunk_rounds: int = 0,
+    sink=None,
 ):
-    """The shared shard_map scan.  flush_stride > 0 accumulates a special
-    row every `flush_stride` strips into a carry buffer; capture_cols
-    accumulates the received boundary column (the _CapturingReader
-    analogue — the reference persists the loaded column through the SRA,
-    sra/SpecialRowsPartition.cpp:468-487)."""
+    """The shared shard_map scan, CHUNKED over pipeline rounds.
+
+    flush_stride > 0 emits a special row every `flush_stride` strips;
+    capture_cols emits the received boundary column (the
+    _CapturingReader analogue — the reference persists the loaded column
+    through the SRA, sra/SpecialRowsPartition.cpp:468-487).
+
+    Unlike a single whole-run scan, each jitted call covers
+    ``chunk_rounds`` pipeline rounds and the special rows / boundary
+    columns flow to the HOST between chunks: device memory stays bounded
+    by O(chunk) regardless of m (the reference's multi-GPU stage 1
+    streams through the per-node SRA the same way,
+    stage1/sw_stage1.cpp:168-196).  With ``state_dir`` set, the small
+    inter-chunk carry checkpoints to disk and an interrupted run RESUMES
+    from the last completed chunk (Status-file semantics,
+    common/Status.cpp:70-89)."""
     axis = mesh.axis_names[0]
     D = mesh.devices.size
-    cfg = cfg or wf.WavefrontConfig(
-        recurrence=Recurrence.SMITH_WATERMAN,
-    )
+    if cfg is None:
+        # Mosaic path wants the big fused strip (the single-chip stage-1
+        # rung); the scan twin keeps the small CPU-friendly default
+        cfg = (wf.WavefrontConfig(alpha=8, rs=32, chunk=8192,
+                                  recurrence=Recurrence.SMITH_WATERMAN)
+               if backend == "pallas"
+               else wf.WavefrontConfig(
+                   recurrence=Recurrence.SMITH_WATERMAN))
     # the kernels score from the config: ALWAYS bake the caller's params
     # in (a caller-supplied cfg with default scores must not silently
     # override non-default params)
@@ -138,25 +157,36 @@ def _sharded_run(
 
     run_strip, blen = _strip_fn(cfg, W, backend)
 
-    def shard_fn(b_local, seq0_all):
+    # chunk length: cover every device's flush cadence a few times per
+    # chunk so the sp buffer stays small but dispatches stay amortized
+    c = chunk_rounds or min(rounds, max(flush_stride, 1) * 4)
+    n_chunks = -(-rounds // c)
+    spc = (c // flush_stride + 2) if flush_stride else 1
+
+    def shard_fn(b_local, seq0_all, r0, bus_h, bus_f, recv_h, recv_e,
+                 corner, best3, gbest, npruned):
         d = jax.lax.axis_index(axis)
         b_loc = b_local.reshape(W)
         b_ext = jnp.concatenate(
             [b_loc, jnp.full(blen - W, wf.B_SENTINEL, jnp.int32)]
         )
+        bus_h = bus_h.reshape(blen)
+        bus_f = bus_f.reshape(blen)
+        recv_h = recv_h.reshape(R)
+        recv_e = recv_e.reshape(R)
+        corner = corner.reshape(())
+        best3 = tuple(best3.reshape(3))
+        gbest = gbest.reshape(())
+        npruned = npruned.reshape(())
         zero_col = jnp.zeros(R, jnp.int32)       # SW zero borders
         neg_col = jnp.full(R, NEG, jnp.int32)
 
-        bus_h0 = jnp.where(
-            jnp.arange(blen) < W, 0, NEG
-        ).astype(jnp.int32)                       # row-0 zeros border
-        bus_f0 = jnp.full(blen, NEG, jnp.int32)
-
         neg_bus = jnp.full(blen, NEG, jnp.int32)
 
-        def round_body(carry, r):
+        def round_body(carry, k):
             (bus_h, bus_f, recv_h, recv_e, corner, best3, gbest, npruned,
              sp_h, sp_f, fc_h, fc_e) = carry
+            r = r0 + k
             s = r - d
             active = jnp.logical_and(s >= 0, s < n_strips)
             s_c = jnp.clip(s, 0, n_strips - 1)
@@ -216,11 +246,14 @@ def _sharded_run(
                 gbest = jax.lax.pmax(jnp.maximum(gbest, best3[0]), axis)
 
             if flush_stride:
-                # special row (s+1)*R lands in slot (s+1)/stride - 1
+                # special row (s+1)*R lands in the chunk-local slot:
+                # global flush ordinal (s+1)/stride minus the flushes
+                # this device completed before round r0
                 do_fl = jnp.logical_and(
                     active, (s_c + 1) % flush_stride == 0)
-                slot = jnp.clip((s_c + 1) // flush_stride - 1, 0,
-                                max(n_sp - 1, 0))
+                q_before = jnp.maximum(r0 - d, 0) // flush_stride
+                slot = jnp.clip((s_c + 1) // flush_stride - 1 - q_before,
+                                0, spc - 1)
                 cur_h = jax.lax.dynamic_slice(sp_h, (slot, 0), (1, W))
                 cur_f = jax.lax.dynamic_slice(sp_f, (slot, 0), (1, W))
                 sp_h = jax.lax.dynamic_update_slice(
@@ -231,13 +264,13 @@ def _sharded_run(
                     (slot, 0))
             if capture_cols:
                 # the column entering THIS strip covers boundary rows
-                # s*R+1 .. (s+1)*R
-                cur_h = jax.lax.dynamic_slice(fc_h, (s_c * R,), (R,))
-                cur_e = jax.lax.dynamic_slice(fc_e, (s_c * R,), (R,))
+                # s*R+1 .. (s+1)*R; chunk-local slot k
                 fc_h = jax.lax.dynamic_update_slice(
-                    fc_h, jnp.where(active, init_h, cur_h), (s_c * R,))
+                    fc_h, jnp.where(active, init_h,
+                                    fc_h[k]).reshape(1, R), (k, 0))
                 fc_e = jax.lax.dynamic_update_slice(
-                    fc_e, jnp.where(active, init_e, cur_e), (s_c * R,))
+                    fc_e, jnp.where(active, init_e,
+                                    fc_e[k]).reshape(1, R), (k, 0))
 
             new_corner = recv_h[R - 1]
             # exchange: last column -> right neighbor
@@ -247,44 +280,215 @@ def _sharded_run(
             return (bh, bf, nrecv_h, nrecv_e, new_corner, best3, gbest,
                     npruned, sp_h, sp_f, fc_h, fc_e), None
 
-        z = jnp.asarray(0, jnp.int32)
-        best0 = (z, z, z)
-        sp0 = jnp.zeros((max(n_sp, 1), W), jnp.int32)
-        fc_len = m_pad if capture_cols else 1
-        fc0 = jnp.zeros(fc_len, jnp.int32)
-        init = (bus_h0, bus_f0, zero_col, neg_col, z, best0, z, z,
-                sp0, sp0, fc0, fc0)
-        (bus_h, bus_f, _, _, _, best3, _, npruned, sp_h, sp_f, fc_h,
-         fc_e), _ = jax.lax.scan(
-            round_body, init, jnp.arange(rounds, dtype=jnp.int32)
+        sp0 = jnp.zeros((spc, W), jnp.int32)
+        fcc = c if capture_cols else 1
+        fc0 = jnp.zeros((fcc, R), jnp.int32)
+        init = (bus_h, bus_f, recv_h, recv_e, corner, best3, gbest,
+                npruned, sp0, sp0, fc0, fc0)
+        (bus_h, bus_f, recv_h, recv_e, corner, best3, gbest, npruned,
+         sp_h, sp_f, fc_h, fc_e), _ = jax.lax.scan(
+            round_body, init, jnp.arange(c, dtype=jnp.int32)
         )
         return (
+            bus_h.reshape(1, blen),
+            bus_f.reshape(1, blen),
+            recv_h.reshape(1, R),
+            recv_e.reshape(1, R),
+            corner.reshape(1),
             jnp.stack(best3).reshape(1, 3),
-            bus_h[:W].reshape(1, W),
-            bus_f[:W].reshape(1, W),
+            gbest.reshape(1),
             npruned.reshape(1),
-            sp_h.reshape(1, max(n_sp, 1), W),
-            sp_f.reshape(1, max(n_sp, 1), W),
-            fc_h.reshape(1, fc_len),
-            fc_e.reshape(1, fc_len),
+            sp_h.reshape(1, spc, W),
+            sp_f.reshape(1, spc, W),
+            fc_h.reshape(1, fcc, R),
+            fc_e.reshape(1, fcc, R),
         )
 
+    sh1 = P(axis, None)
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis),
+        in_specs=(sh1, P(), P(), sh1, sh1, sh1, sh1, P(axis), sh1,
+                  P(axis), P(axis)),
+        out_specs=(sh1, sh1, sh1, sh1, P(axis), sh1, P(axis), P(axis),
                    P(axis, None, None), P(axis, None, None),
-                   P(axis, None), P(axis, None)),
+                   P(axis, None, None), P(axis, None, None)),
         check_vma=False,
     )
-    out = jax.jit(fn)(jnp.asarray(b_sharded), jnp.asarray(seq0_pad))
-    names = ("best3", "last_h", "last_f", "npruned", "sp_h", "sp_f",
-             "fc_h", "fc_e")
-    host = {k: np.asarray(v) for k, v in zip(names, out)}
+    jfn = jax.jit(fn)
+    multi = jax.process_count() > 1
+    if multi:
+        # multi-host: each controller only addresses its own devices, so
+        # global inputs are assembled per-shard and outputs allgathered
+        # over DCN (the reference's equivalent control plane is the
+        # AlignerPool shared-dir mailbox, common/AlignerPool.cpp:152-215)
+        from jax.experimental import multihost_utils as mhu
+        from jax.sharding import NamedSharding
+
+        def _glob(arr, spec):
+            return jax.make_array_from_callback(
+                arr.shape, NamedSharding(mesh, spec),
+                lambda idx: arr[idx])
+
+        b_in = _glob(b_sharded, P(axis, None))
+        s_in = _glob(seq0_pad, P())
+
+        def pull(v):
+            return np.asarray(mhu.process_allgather(v, tiled=True))
+    else:
+        b_in = jnp.asarray(b_sharded)
+        s_in = jnp.asarray(seq0_pad)
+        pull = np.asarray
+
+    # ---- carry init / resume -------------------------------------------
+    import os
+
+    ck_path = os.path.join(state_dir, "sharded_carry.npz") \
+        if state_dir else None
+    r_start = 0
+    carry_names = ("bus_h", "bus_f", "recv_h", "recv_e", "corner",
+                   "best3", "gbest", "npruned")
+    carry = None
+    if ck_path and os.path.exists(ck_path):
+        try:
+            with np.load(ck_path) as z:
+                if (int(z["W"]) == W and int(z["R"]) == R
+                        and int(z["D"]) == D and int(z["c"]) == c):
+                    r_start = int(z["round0"])
+                    carry = [np.asarray(z[k]) for k in carry_names]
+        except Exception:
+            r_start, carry = 0, None
+    if carry is None:
+        bus_h0 = np.where(np.arange(blen) < W, 0, NEG).astype(np.int32)
+        carry = [
+            np.broadcast_to(bus_h0, (D, blen)).copy(),
+            np.full((D, blen), NEG, np.int32),
+            np.zeros((D, R), np.int32),
+            np.full((D, R), NEG, np.int32),
+            np.zeros(D, np.int32),
+            np.zeros((D, 3), np.int32),
+            np.zeros(D, np.int32),
+            np.zeros(D, np.int32),
+        ]
+
+    carry_specs = (sh1, sh1, sh1, sh1, P(axis), sh1, P(axis), P(axis))
+    if multi:
+        carry = [_glob(np.asarray(a), sp)
+                 for a, sp in zip(carry, carry_specs)]
+
+    # ---- the chunk loop (sink=None accumulates full buffers on host) ---
+    if sink is None:
+        acc_sp_h = np.zeros((D, max(n_sp, 1), W), np.int32)
+        acc_sp_f = np.zeros((D, max(n_sp, 1), W), np.int32)
+        fc_len = m_pad if capture_cols else 1
+        acc_fc_h = np.zeros((D, fc_len), np.int32)
+        acc_fc_e = np.zeros((D, fc_len), np.int32)
+
+    for r0 in range(r_start, rounds, c):
+        out = jfn(b_in, s_in, jnp.int32(r0), *carry)
+        carry = list(out[:8])
+        sp_h_c, sp_f_c, fc_h_c, fc_e_c = (pull(v) for v in out[8:])
+        # demultiplex this chunk's emissions (host knows the diagonal
+        # pipeline schedule exactly)
+        for d in range(D):
+            q_before = max(r0 - d, 0) // flush_stride if flush_stride \
+                else 0
+            for k in range(c):
+                s = r0 + k - d
+                if not (0 <= s < n_strips):
+                    continue
+                if capture_cols and d > 0:
+                    if sink is None:
+                        acc_fc_h[d][s * R : (s + 1) * R] = fc_h_c[d][k]
+                        acc_fc_e[d][s * R : (s + 1) * R] = fc_e_c[d][k]
+                    else:
+                        sink.boundary_col(d, s, fc_h_c[d][k],
+                                          fc_e_c[d][k])
+                if flush_stride and (s + 1) % flush_stride == 0:
+                    slot = (s + 1) // flush_stride - 1 - q_before
+                    if sink is None:
+                        gslot = (s + 1) // flush_stride - 1
+                        if gslot < max(n_sp, 1):
+                            acc_sp_h[d][gslot] = sp_h_c[d][slot]
+                            acc_sp_f[d][gslot] = sp_f_c[d][slot]
+                    else:
+                        sink.special_row(d, (s + 1) * R, sp_h_c[d][slot],
+                                         sp_f_c[d][slot])
+        if ck_path:
+            carry_np = [pull(x) for x in carry]
+            tmp = ck_path + ".tmp.npz"   # np.savez appends .npz itself
+            np.savez(tmp, round0=r0 + c, W=W, R=R, D=D, c=c,
+                     **dict(zip(carry_names, carry_np)))
+            os.replace(tmp, ck_path)
+            if sink is not None:
+                sink.chunk_done(r0 + c)
+
+    best3, last_h, last_f, npruned = (
+        pull(carry[5]), pull(carry[0]), pull(carry[1]), pull(carry[7]))
+    host = {
+        "best3": best3,
+        "last_h": last_h[:, :W],
+        "last_f": last_f[:, :W],
+        "npruned": npruned,
+    }
+    if sink is None:
+        host.update(sp_h=acc_sp_h, sp_f=acc_sp_f,
+                    fc_h=acc_fc_h, fc_e=acc_fc_e)
     host.update(m=m, n=n, W=W, D=D, R=R, n_strips=n_strips, n_sp=n_sp,
                 m_pad=m_pad, n_pad=n_pad, flush_stride=flush_stride)
     return host
+
+
+class ShardedStateSink:
+    """Disk persistence for the chunked sharded stage 1 — the per-node
+    SRA analogue (sw_stage1.cpp:168-196): slab special rows and boundary
+    columns stream into memmaps as chunks complete, so device memory
+    stays bounded and an interrupted run resumes from the carry
+    checkpoint with all prior emissions already on disk."""
+
+    def __init__(self, state_dir: str, D: int, W: int, R: int,
+                 m_pad: int, n_sp: int):
+        import os
+
+        os.makedirs(state_dir, exist_ok=True)
+        self.dir = state_dir
+        self.D, self.W, self.R = D, W, R
+        self.m_pad, self.n_sp = m_pad, n_sp
+        shape_sp = (D, max(n_sp, 1), W)
+        shape_fc = (D, m_pad)
+        self.sp_h = self._mm("sp_h.dat", shape_sp)
+        self.sp_f = self._mm("sp_f.dat", shape_sp)
+        self.fc_h = self._mm("fc_h.dat", shape_fc)
+        self.fc_e = self._mm("fc_e.dat", shape_fc)
+
+    def _mm(self, name, shape):
+        import os
+
+        path = os.path.join(self.dir, name)
+        mode = "r+" if (os.path.exists(path) and
+                        os.path.getsize(path) ==
+                        int(np.prod(shape)) * 4) else "w+"
+        return np.memmap(path, dtype=np.int32, mode=mode, shape=shape)
+
+    def set_stride(self, stride: int):
+        self._stride = max(stride, 1)
+
+    def special_row(self, d, row, h, f):
+        # row = (s+1)*R with (s+1) % stride == 0 -> global slot
+        slot = min(row // (self.R * self._stride) - 1,
+                   self.sp_h.shape[1] - 1)
+        self.sp_h[d][slot] = h
+        self.sp_f[d][slot] = f
+
+    def boundary_col(self, d, s, h, e):
+        self.fc_h[d][s * self.R : (s + 1) * self.R] = h
+        self.fc_e[d][s * self.R : (s + 1) * self.R] = e
+
+    def chunk_done(self, round0: int):
+        self.sp_h.flush()
+        self.sp_f.flush()
+        self.fc_h.flush()
+        self.fc_e.flush()
 
 
 def sharded_stage1(
@@ -332,6 +536,7 @@ def sharded_stage1_full(
     backend: str = "scan",
     prune: bool = False,
     flush_stride: int = 1,
+    state_dir: str | None = None,
 ) -> ShardedFullResult:
     """Stage 1 with everything traceback needs, per device: the slab-local
     best endpoint, special rows every ``flush_stride`` strips, and the
@@ -342,8 +547,27 @@ def sharded_stage1_full(
     from masa_tpu.stages.core import SpecialRowStore
     from masa_tpu.parallel.split import PartResult
 
+    sink = None
+    if state_dir is not None:
+        # probe shapes cheaply to size the sink like _sharded_run will
+        cfg_probe = cfg
+        if cfg_probe is None:
+            cfg_probe = (wf.WavefrontConfig(alpha=8, rs=32, chunk=8192)
+                         if backend == "pallas" else wf.WavefrontConfig())
+        R_ = cfg_probe.rows
+        D_ = mesh.devices.size
+        n_strips_ = -(-len(seq0) // R_)
+        stride_ = max(flush_stride, 1)
+        sink = ShardedStateSink(state_dir, D_, -(-len(seq1) // D_), R_,
+                                n_strips_ * R_, n_strips_ // stride_)
+        sink.set_stride(stride_)
     h = _sharded_run(seq0, seq1, mesh, cfg, params, backend, prune,
-                     flush_stride=max(flush_stride, 1), capture_cols=True)
+                     flush_stride=max(flush_stride, 1), capture_cols=True,
+                     state_dir=state_dir, sink=sink)
+    if sink is not None:
+        # reload every emission (incl. pre-resume chunks) from disk
+        h["sp_h"], h["sp_f"] = sink.sp_h, sink.sp_f
+        h["fc_h"], h["fc_e"] = sink.fc_h, sink.fc_e
     m, n, W, D, R = h["m"], h["n"], h["W"], h["D"], h["R"]
     stride = h["flush_stride"]
 
@@ -408,6 +632,7 @@ def sharded_align(
     flush_stride: int = 1,
     traceback: str = "pipelined",
     max_cells_stage5: int = 1 << 18,
+    state_dir: str | None = None,
 ):
     """The full multi-chip alignment: sharded stage 1 over the mesh, then
     pipelined or speculative slab traceback (stage 2), densification
@@ -423,7 +648,7 @@ def sharded_align(
     from masa_tpu.stages import pipeline, stage6
 
     full = sharded_stage1_full(seq0, seq1, mesh, cfg, params, backend,
-                               prune, flush_stride)
+                               prune, flush_stride, state_dir=state_dir)
     if traceback == "speculative":
         cps, _reused = speculative_traceback(seq0, seq1, full.parts,
                                              params)

@@ -76,6 +76,66 @@ class SpecialRowStore:
         return len(self._rows)
 
 
+class DevRowCache:
+    """Device-resident special-row cache: the stage-1 bus snapshots that
+    the async packed pulls already retain are kept alive here, so stage 2
+    can run its goal matching ON DEVICE (wf.goal_match_device) instead of
+    re-reading multi-MB rows from the SRA and pulling the reverse pass's
+    last row per hop — the dominant stage-2 cost at the 5M+ scale.
+
+    The host SRA store stays authoritative (crash resume); this cache is
+    an accelerator.  Budget-bounded in bytes; eviction drops the SMALLEST
+    rows first (stage 2 consumes top-down, so high rows are needed
+    soonest).  Rows above a found crosspoint are truncated like the SRA
+    (SpecialRowsArea::truncatePartition)."""
+
+    def __init__(self, budget_bytes: int | None = None):
+        import os
+
+        if budget_bytes is None:
+            budget_bytes = int(os.environ.get(
+                "MASA_TPU_DEV_ROWS_MB", "4096")) << 20
+        self.budget = budget_bytes
+        self._rows: dict[int, tuple] = {}     # r -> (dev_h, dev_f)
+        self._borders: dict[int, tuple] = {}  # r -> (h0, f0)
+        self._bytes = 0
+
+    def put_dev(self, r: int, dev_h, dev_f) -> None:
+        if r in self._rows:
+            return
+        sz = 2 * int(np.prod(dev_h.shape)) * 4
+        while self._bytes + sz > self.budget and self._rows:
+            drop = min(self._rows)
+            dh, _ = self._rows.pop(drop)
+            self._borders.pop(drop, None)
+            self._bytes -= 2 * int(np.prod(dh.shape)) * 4
+        if self._bytes + sz > self.budget:
+            return
+        self._rows[r] = (dev_h, dev_f)
+        self._bytes += sz
+
+    def attach_border(self, r: int, h0: int, f0: int) -> None:
+        if r in self._rows:
+            self._borders[r] = (int(h0), int(f0))
+
+    def get(self, r: int):
+        """(dev_h, dev_f, border_h0, border_f0) or None."""
+        row = self._rows.get(r)
+        bd = self._borders.get(r)
+        if row is None or bd is None:
+            return None
+        return (row[0], row[1], bd[0], bd[1])
+
+    def truncate_above(self, i: int) -> None:
+        for r in [r for r in self._rows if r > i]:
+            dh, _ = self._rows.pop(r)
+            self._borders.pop(r, None)
+            self._bytes -= 2 * int(np.prod(dh.shape)) * 4
+
+    def __len__(self):
+        return len(self._rows)
+
+
 def border_gap_values(h_border: np.ndarray, params: ScoreParams) -> np.ndarray:
     """Exact gap-state values along a border: out[k] =
     max_{k0<k}( h[k0] - open - (k-k0)*ext ), out[0] = -INF."""
@@ -148,6 +208,7 @@ def forward_pass(
     want_last_row: bool = True,
     want_lastcol: bool = False,
     nw_best: bool = False,
+    dev_cache: "DevRowCache | None" = None,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`.
@@ -186,6 +247,7 @@ def forward_pass(
     mgr.want_last_row = want_last_row and not pad_rows
     mgr.last_column_wanted = want_lastcol
     mgr.blocks_sink = blocks_sink
+    mgr.special_dev_sink = dev_cache
     aligner.set_sequences(seq0, seq1)
     mgr.align_partition(Partition(0, 0, m, n))
 
@@ -246,6 +308,36 @@ def adaptive_config(rows: int) -> wf.WavefrontConfig:
     return best
 
 
+# measured on the tunneled v5e: fused Mosaic strips sustain ~150 GCUPS,
+# the scan twin (which partial strips fall back to) ~3 GCUPS, and a
+# fused dispatch costs ~20 ms
+_KERNEL_GCUPS = 150e9
+_SCAN_GCUPS = 3e9
+_DISPATCH_S = 0.02
+
+
+def partition_config(rows: int, width: int) -> wf.WavefrontConfig:
+    """Cost-aware ladder choice for a one-off partition of known size:
+    full strips run fused Mosaic, the `rows % R` tail runs the slow scan
+    twin — so for heights NOT aligned to a big rung (every stage-2 hop
+    from an arbitrary endpoint), a smaller rung with a small tail beats
+    the big rung with a 32K-row scan tail by seconds."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return _CPU_LADDER[0]
+    w = max(width, 1)
+    best, best_cost = None, None
+    for cfg in _TPU_LADDER:
+        full = rows // cfg.rows
+        rem = rows % cfg.rows
+        cost = (full * (cfg.rows * w / _KERNEL_GCUPS + _DISPATCH_S)
+                + rem * w / _SCAN_GCUPS)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = cfg, cost
+    return best
+
+
 def goal_reachable(cp: Crosspoint, cut_row: int, match: int) -> bool:
     """Necessary condition for the SW alignment START to lie within the
     reverse window rows (cut_row, cp.i]: the path consumes at most
@@ -300,6 +392,8 @@ def reverse_pass_and_match(
     want_rev_col: bool = False,
     rev_seqs: tuple | None = None,
     free_col_start: bool = False,
+    dev_cut: tuple | None = None,
+    fwd_rows_fn=None,
 ) -> ReverseMatch:
     """One reverse partition: from crosspoint `cp` up to `cut_row`,
     columns [j_low, cp.j], matched against the stored forward cut.
@@ -313,6 +407,12 @@ def reverse_pass_and_match(
     arrays (built once per march).  The pass then aligns an offset
     partition of them instead of materializing per-hop slices — the
     aligner's device-resident sequence cache hits on every hop.
+
+    ``dev_cut = (dev_h, dev_f, border_h0, border_f0)``: the stored cut as
+    a device-resident bus snapshot (DevRowCache).  When usable (kernel
+    backend, window not touching column 0), the whole match runs on
+    device and fwd_h/fwd_f may be None — ``fwd_rows_fn()`` lazily loads
+    the host row only if the host path is needed after all.
     """
     from masa_tpu.core.manager import AlignerManager
     from masa_tpu.types import Partition
@@ -333,12 +433,21 @@ def reverse_pass_and_match(
     # crosspoint; col border = vertical.  Pin the crosspoint state.
     row_init, col_init = init_types_for(t)
 
-    # Matching frame: index k runs j = cj - k for k in [0, width].
-    fwd_cut_h = np.asarray(fwd_h, np.int64)[j_low : cj + 1][::-1]
-    fwd_cut_f = np.asarray(fwd_f, np.int64)[j_low : cj + 1][::-1]
-
     if backend == "auto":
         backend = "numpy" if hb * max(width, 1) < 16_000_000 else "kernel"
+
+    # device path: cut stays on device, match runs there (j=0 border
+    # cases and the numpy oracle keep the host path)
+    use_dev = (dev_cut is not None and width > 0 and j_low >= 1
+               and backend != "numpy")
+
+    # Matching frame: index k runs j = cj - k for k in [0, width].
+    fwd_cut_h = fwd_cut_f = None
+    if not use_dev:
+        if fwd_h is None:
+            fwd_h, fwd_f = fwd_rows_fn()
+        fwd_cut_h = np.asarray(fwd_h, np.int64)[j_low : cj + 1][::-1]
+        fwd_cut_f = np.asarray(fwd_f, np.int64)[j_low : cj + 1][::-1]
     if width == 0:
         # Degenerate window: only the straight-up border column exists.
         rev_h, _ = border_cells(hb + 1, col_init, params)
@@ -357,6 +466,10 @@ def reverse_pass_and_match(
         # forward passes, with the stored cut installed as the goal base
         # (the manager's findGoalCell machinery,
         # common/AlignerManager.cpp:625-656).
+        if cfg is None and backend != "numpy":
+            # hop heights are arbitrary (the endpoint row); the cost-aware
+            # rung keeps the scan-twin tail small
+            cfg = partition_config(hb, width)
         aligner = make_aligner(backend, hb, cfg)
         mgr = AlignerManager(aligner, params)
         mgr.set_recurrence_type(Recurrence.NEEDLEMAN_WUNSCH)
@@ -365,7 +478,11 @@ def reverse_pass_and_match(
         mgr.track_best = goal_anywhere
         mgr.last_column_wanted = want_rev_col
         mgr.reverse_f0 = _border_f_value(col_init, hb, params)
-        mgr.set_goal_score(goal, base_row=(fwd_cut_h, fwd_cut_f))
+        if use_dev:
+            mgr.set_goal_score(goal, base_row=None)
+            mgr.goal_base_dev = (dev_cut[0], dev_cut[1], cj, width + 1)
+        else:
+            mgr.set_goal_score(goal, base_row=(fwd_cut_h, fwd_cut_f))
         if rev_seqs is not None:
             # offset partition of the stable reversed-full arrays
             r0f, r1f = rev_seqs
@@ -447,6 +564,7 @@ def reverse_march(
     cfg: wf.WavefrontConfig | None = None,
     on_crosspoint=None,
     fix_origin: bool = True,
+    dev_cache: DevRowCache | None = None,
 ) -> list[Crosspoint]:
     """The stage-2 loop: march crosspoints from `endpoint` back toward the
     origin, matching at stored special rows (virtual row 0 included).
@@ -477,12 +595,21 @@ def reverse_march(
             break
 
         r = specials.next_below(cp.i, min_dist)
+        dev_cut = None
+        fwd_rows_fn = None
         if r is None or r == 0:
             r = 0
             fh = row0_h.astype(np.int64)
             ff = np.full(n + 1, NEG, np.int64)
         else:
-            fh, ff = specials.get(r)
+            dev_cut = dev_cache.get(r) if dev_cache is not None else None
+            if dev_cut is None:
+                fh, ff = specials.get(r)
+            else:
+                # device-resident cut: load the host row lazily, only if
+                # a window attempt falls back to the host match
+                fh = ff = None
+                fwd_rows_fn = (lambda r_=r: specials.get(r_))
 
         goal_anywhere = sw_anywhere and goal_reachable(cp, r, params.match)
         # free column border: the path may start mid-border at (i, 0)
@@ -499,6 +626,7 @@ def reverse_march(
                 rev_seqs=rev_seqs,
                 want_rev_col=free_col and at_edge,
                 free_col_start=free_col,
+                dev_cut=dev_cut, fwd_rows_fn=fwd_rows_fn,
             )
             if rm.start_found:
                 si, sj = rm.start
@@ -522,6 +650,8 @@ def reverse_march(
         if on_crosspoint:
             on_crosspoint(cp)
         specials.truncate_above(cp.i)
+        if dev_cache is not None:
+            dev_cache.truncate_above(cp.i)
 
     # Origin fixup (stage2/sw_stage2.cpp:461-481): a crosspoint resting on
     # a *gapped* border extends to the origin.

@@ -132,6 +132,7 @@ def stage1_pass(
     end = _effective_end(pcfg)
     kcfg = pcfg.kernel_cfg or core.default_config()
     iv = pcfg.flush_interval or auto_flush_interval(m, n, kcfg)
+    dev_cache = core.DevRowCache()
     res = core.forward_pass(
         seq0, seq1, pcfg.params, rec, row_init, col_init,
         special_every=iv, store=store, backend=pcfg.backend, cfg=kcfg,
@@ -139,7 +140,10 @@ def stage1_pass(
                              AlignmentStart.SEQUENCE_1_OR_2),
         nw_best=(end == AlignmentStart.ANYWHERE
                  and rec == Recurrence.NEEDLEMAN_WUNSCH),
+        dev_cache=dev_cache,
     )
+    # ride along to stage2_march (device-resident goal matching)
+    res.specials.dev_cache = dev_cache
     endpoint = select_endpoint(res, m, n, end, rec)
     if endpoint.i == m:
         # the last row is itself a final special row for stage 2
@@ -160,6 +164,7 @@ def stage2_march(
         row_init, col_init, pcfg.alignment_start,
         min_dist=pcfg.min_dist, backend=pcfg.backend,
         cfg=pcfg.kernel_cfg,
+        dev_cache=getattr(specials, "dev_cache", None),
     )
 
 

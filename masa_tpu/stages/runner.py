@@ -43,6 +43,28 @@ class _NoTruncate:
         pass
 
 
+class _OffsetDevCache:
+    """DevRowCache shim rebasing partition-frame row indices (a resumed
+    stage 1 computes rows r0..m as 0..m-r0) to global ones; reads are
+    already global."""
+
+    def __init__(self, cache, offset: int):
+        self.cache = cache
+        self.offset = offset
+
+    def put_dev(self, r, dev_h, dev_f):
+        self.cache.put_dev(self.offset + r, dev_h, dev_f)
+
+    def attach_border(self, r, h0, f0):
+        self.cache.attach_border(self.offset + r, h0, f0)
+
+    def get(self, r):
+        return self.cache.get(r)
+
+    def truncate_above(self, i):
+        self.cache.truncate_above(i)
+
+
 class _OffsetStore:
     """Adapter translating partition-local row indices to absolute ones and
     mirroring progress into the status file."""
@@ -172,11 +194,18 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     timer.create_event("compute")
     ticker = RecurrentTimer(2.0, _tick)
     ticker.start()
+    # device-resident special-row cache for stage 2's on-device matching;
+    # survives to stage2() through the (in-process) job object.  Resume
+    # offset r0 rebases partition-frame rows to global ones.
+    dev_cache = core.DevRowCache()
+    job.runtime_dev_rows = _OffsetDevCache(dev_cache, r0)
+
     try:
         res = core.forward_pass(
             seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
             first_row=first_row, first_col=first_col,
             special_every=ivs[0], store=store,
+            dev_cache=job.runtime_dev_rows,
             backend=job.cfg.backend, cfg=kernel_cfg,
             prune=job.cfg.block_pruning,
             # endpoint selection from the last row/column needs real
@@ -281,6 +310,10 @@ def stage2(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
         row_init, col_init, pcfg.alignment_start,
         backend=job.cfg.backend, cfg=kernel_cfg,
         on_crosspoint=out_cpf.write,
+        # multi-alignment runs share the stage-1 rows (no truncation);
+        # the truncating device cache only serves the single-id fast path
+        dev_cache=(getattr(job, "runtime_dev_rows", None)
+                   if job.cfg.max_alignments == 1 else None),
     )
     if out_cpf._fh:                # drop the autosave handle; the
         out_cpf._fh.close()        # authoritative save is ascending
@@ -515,3 +548,30 @@ def align_job(job: Job, seq0, seq1, sequences=None, kernel_cfg=None,
     stage1(job, seq0, seq1, kernel_cfg, log)
     return execute_traceback(job, seq0, seq1, sequences, kernel_cfg, fmt,
                              log)
+
+
+def finish_alignment(job: Job, seq0, seq1, aln: balign.Alignment,
+                     cps=None, aln_id: int = 0, fmt: str = "text",
+                     log=print, elapsed: dict | None = None
+                     ) -> balign.Alignment:
+    """Write the standard work-dir artifact set for an alignment produced
+    OUTSIDE the persistent stage runners (sharded / weighted-split /
+    oversize / fork modes): the CGFF binary, the stage-6 rendering with
+    its independent re-check, crosspoint files and per-stage statistics —
+    so every CLI mode leaves the same artifacts the monolithic path does
+    (the reference writes these identically in all modes,
+    libmasa.cpp:1351-1394)."""
+    balign.write_cgff(job.path(f"alignment.{aln_id:02d}.cgff"), aln)
+    if cps:
+        f = job.crosspoints_file(STAGE_4, aln_id)
+        f.crosspoints = list(cps)
+        f.save()
+    for stage, key in ((STAGE_1, "stage1"), (STAGE_2, "stage2"),
+                       (STAGE_5, "stage5")):
+        with job.stats_file(stage, aln_id) as fh:
+            if elapsed and key in elapsed:
+                fh.write(f"  total_ms: {elapsed[key] * 1000:.3f}\n")
+    job.status.update(stage=STAGE_5,
+                      best=(aln.end[0], aln.end[1], aln.raw_score))
+    stage6(job, seq0, seq1, aln, aln_id, fmt, log)
+    return aln

@@ -54,6 +54,103 @@ class TestShardedStage1:
         assert np.array_equal(canon(res.last_f[:n]), canon(ref.last_f[1:]))
 
 
+class TestShardedPallasBranch:
+    @pytest.mark.slow
+    def test_pallas_interpret_parity(self, dna, homolog):
+        """_strip_fn's pallas branch (the backend real multi-chip runs
+        use) in interpret mode: full parity against the scan twin AND the
+        oracle on a 2-device mesh."""
+        s0 = dna(256, seed=171)
+        s1 = homolog(s0, seed=172)
+        mesh = make_mesh(2)
+        cfg = WavefrontConfig(
+            alpha=4, rs=1, chunk=512,
+            recurrence=Recurrence.SMITH_WATERMAN,
+            track_best=True, store_lastcol=True, interpret=True,
+        )
+        res = sharded_stage1(s0, s1, mesh, cfg, P, backend="pallas")
+        ref = oracle.dp_rows(s0, s1, P)
+        assert res.best == ref.best
+        n = len(s1)
+        assert np.array_equal(canon(res.last_h[:n]), canon(ref.last_h[1:]))
+
+    @pytest.mark.slow
+    def test_pallas_interpret_full_alignment(self, dna, homolog):
+        """sharded_align end-to-end on the pallas branch (interpret):
+        byte-identical to the monolithic pipeline."""
+        from masa_tpu.stages import pipeline
+
+        s0 = dna(256, seed=173)
+        s1 = homolog(s0, seed=174)
+        mesh = make_mesh(2)
+        cfg = WavefrontConfig(
+            alpha=4, rs=1, chunk=512,
+            recurrence=Recurrence.SMITH_WATERMAN, interpret=True,
+        )
+        best, aln = sharded_align(s0, s1, mesh, cfg, P, backend="pallas")
+        pcfg = pipeline.PipelineConfig(params=P)
+        res, ep = pipeline.stage1_pass(s0, s1, pcfg)
+        assert best == ep.score
+        cps = pipeline.stage2_march(s0, s1, pcfg, ep, res.specials)
+        cps = pipeline.stage3_densify(s0, s1, pcfg, cps)
+        mono = pipeline.stage5_emit(s0, s1, pcfg, cps)
+        assert aln.raw_score == mono.raw_score
+        assert aln.start == mono.start and aln.end == mono.end
+
+
+class TestShardedResume:
+    def test_interrupted_chunk_resumes_identical(self, dna, homolog,
+                                                 tmp_path, monkeypatch):
+        """Crash mid-stage-1 (after a chunk checkpoint), rerun, and the
+        resumed run must produce byte-identical slab artifacts to an
+        uninterrupted run — the multi-chip Status-file resume
+        (common/Status.cpp:70-89 + sw_stage1.cpp:210-217)."""
+        import masa_tpu.parallel.sharded as sh
+
+        s0 = dna(4096, seed=181)
+        s1 = homolog(s0, seed=182)
+        mesh = make_mesh(4)
+        cfg = WavefrontConfig(alpha=4, rs=1, chunk=512,
+                              recurrence=Recurrence.SMITH_WATERMAN)
+
+        ref = sh.sharded_stage1_full(s0, s1, mesh, cfg, P,
+                                     flush_stride=1)
+
+        state = str(tmp_path / "state")
+        calls = {"n": 0}
+        orig = sh.ShardedStateSink.chunk_done
+
+        def dying(self, round0):
+            orig(self, round0)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated crash")
+
+        monkeypatch.setattr(sh.ShardedStateSink, "chunk_done", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            sh.sharded_stage1_full(s0, s1, mesh, cfg, P, flush_stride=1,
+                                   state_dir=state)
+        monkeypatch.setattr(sh.ShardedStateSink, "chunk_done", orig)
+
+        import os
+
+        assert os.path.exists(os.path.join(state, "sharded_carry.npz"))
+        res = sh.sharded_stage1_full(s0, s1, mesh, cfg, P,
+                                     flush_stride=1, state_dir=state)
+        assert (res.best, res.best_i, res.best_j) == (
+            ref.best, ref.best_i, ref.best_j)
+        for pr, pf in zip(res.parts, ref.parts):
+            assert np.array_equal(pr.last_h, pf.last_h)
+            assert pr.specials.rows() == pf.specials.rows()
+            for r in pf.specials.rows():
+                a, b = pr.specials.get(r), pf.specials.get(r)
+                assert np.array_equal(a[0], b[0])
+                assert np.array_equal(a[1], b[1])
+            if pf.first_col is not None:
+                assert np.array_equal(pr.first_col[0], pf.first_col[0])
+                assert np.array_equal(pr.first_col[1], pf.first_col[1])
+
+
 class TestScoreSharePruning:
     """Distributed score-share pruning (TPDS2021) — the feature the
     reference DISABLES in multi-GPU runs (libmasa.cpp:1318-1323)."""
