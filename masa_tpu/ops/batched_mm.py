@@ -415,11 +415,19 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
 _DYN_H_MAX = 256
 
 
+# Fixed batch tile: every Mosaic/prep/match dispatch pads to at most
+# this many elements, so the compile-key set (and the per-level XLA
+# retrace variety) stays CONSTANT across levels instead of growing with
+# the pow2 of each level's pair count.
+_B_TILE = 128
+
+
 def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
                njq: int):
     """One level's halves -> device (B, njq) logical last-row buses.
-    TPU: the batched Mosaic engine, except tiny levels (h <= 256) where
-    the vmapped dynamic scan's single XLA dispatch wins.  CPU: dyn."""
+    TPU: the batched Mosaic engine tiled to _B_TILE, except tiny levels
+    (h <= 256) where the vmapped dynamic scan's single XLA dispatch
+    wins.  CPU: dyn."""
     B = len(halves)
     h_max = max(x.h for x in halves)
     if jax.default_backend() == "tpu" and h_max > _DYN_H_MAX:
@@ -429,11 +437,13 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
         bh_all = [None] * B
         bf_all = [None] * B
         for hgrp, idxs in by_h.items():
-            grp = [halves[i] for i in idxs]
-            bh, bf = _halves_mosaic(dev, grp, rev, params, njq)
-            for r, i in enumerate(idxs):
-                bh_all[i] = bh[r]
-                bf_all[i] = bf[r]
+            for off in range(0, len(idxs), _B_TILE):
+                tile = idxs[off : off + _B_TILE]
+                grp = [halves[i] for i in tile]
+                bh, bf = _halves_mosaic(dev, grp, rev, params, njq)
+                for r, i in enumerate(tile):
+                    bh_all[i] = bh[r]
+                    bf_all[i] = bf[r]
         return jnp.stack(bh_all), jnp.stack(bf_all)
     return _halves_dyn(dev, halves, rev, params, njq)
 
@@ -487,6 +497,35 @@ def _match_engine(njq: int, go: int):
         return (is_hit.astype(jnp.int32), idx_c, scr, typ)
 
     return jax.jit(jax.vmap(one))
+
+
+def _run_match(fh, ff, rh, rf, fwd0, rev0, ws, goals, njq: int, go: int
+               ) -> np.ndarray:
+    """The vmapped match engine, tiled to _B_TILE (one XLA trace per
+    njq instead of one per level batch size).  Returns (4, B) host."""
+    B = fh.shape[0]
+    eng = _match_engine(njq, go)
+    outs = []
+    for off in range(0, B, _B_TILE):
+        end = min(off + _B_TILE, B)
+        n = end - off
+        pad = (_B_TILE - n) if B > _B_TILE or n == _B_TILE else 0
+        if pad:
+            sl = lambda a: jnp.concatenate(
+                [a[off:end], jnp.repeat(a[end - 1 : end], pad, axis=0)])
+            npad = lambda a: np.concatenate(
+                [a[off:end], np.repeat(a[end - 1 : end], pad, axis=0)])
+            out = np.asarray(eng(
+                sl(fh), sl(ff), sl(rh), sl(rf),
+                jnp.asarray(npad(fwd0)), jnp.asarray(npad(rev0)),
+                jnp.asarray(npad(ws)), jnp.asarray(npad(goals))))[:, :n]
+        else:
+            out = np.asarray(eng(
+                fh[off:end], ff[off:end], rh[off:end], rf[off:end],
+                jnp.asarray(fwd0[off:end]), jnp.asarray(rev0[off:end]),
+                jnp.asarray(ws[off:end]), jnp.asarray(goals[off:end])))
+        outs.append(out)
+    return np.concatenate(outs, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -587,9 +626,8 @@ def reduce_partitions_batched(
                     go if c1.type != CrosspointType.MATCH else 0)
 
             t_m0 = _time.time()
-            res = np.asarray(_match_engine(njq, go)(
-                fh, ff, rh, rf, jnp.asarray(fwd0), jnp.asarray(rev0),
-                jnp.asarray(ws), jnp.asarray(goals)))
+            res = _run_match(fh, ff, rh, rf, fwd0, rev0, ws, goals,
+                             njq, go)
             if _TRACE:
                 print(f"    [level {level}] halves={t_f1-t_f0:.2f} "
                       f"meta={t_m0-t_f1:.2f} match={_time.time()-t_m0:.2f}",

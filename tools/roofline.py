@@ -63,9 +63,11 @@ def main():
     T = 1 << 18       # base loop length; timing uses the T->2T SLOPE so
     W = 8             # the ~33 ms dispatch floor cancels out
 
-    def bench_kernel(body, n_in, label, ops_per_iter):
-        """body(vals, it) -> vals; vals = list of (RS,128) arrays.
+    def bench_kernel(body, n_in, label, ops_per_iter, dtype=None,
+                     lanes=128):
+        """body(vals, it) -> vals; vals = list of (RS,lanes) arrays.
         Returns (seconds for T net iterations, native ops/s)."""
+        dtype = dtype or jnp.int32
 
         def make_call(iters):
             def kernel(*refs):
@@ -79,18 +81,19 @@ def main():
                 acc = vals[0]
                 for v in vals[1:]:
                     acc = jnp.maximum(acc, v)
-                out_ref[...] = acc
+                out_ref[...] = acc.astype(jnp.int32)
 
             call = pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((RS, 128), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((RS, lanes), jnp.int32),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             )
             return jax.jit(lambda *a: (call(*a),))
 
         xs = [jnp.asarray(np.random.default_rng(i).integers(
-            -1000, 1000, (RS, 128), dtype=np.int32)) for i in range(n_in)]
+            -1000, 1000, (RS, lanes), dtype=np.int32).astype(dtype))
+            for i in range(n_in)]
         d1 = timed(make_call(T), *xs)
         d2 = timed(make_call(2 * T), *xs)
         dt = max(d2 - d1, 1e-9)
@@ -154,14 +157,58 @@ def main():
                              ALPHA * OPS_PER_K)
     # cells per mix iteration = ALPHA * RS * 128
     cells_s = T * ALPHA * RS * 128 / mix_dt
+
+    # --- m16: the same DP mix on int16 (RS, 256) vectors ----------------
+    # The one untested 2x lever from the round-2 roofline: IF the VPU
+    # issues (8,256) int16 ops at the (8,128) int32 rate, a 16-bit
+    # delta-packed kernel doubles GCUPS.  If the measured rate is ~the
+    # int32 rate per ELEMENT (i.e., int16 is emulated in 32-bit regs),
+    # the packing cannot win and this records the negative.
+    def mix16_body(vals, it):
+        it16 = it.astype(jnp.int16) if hasattr(it, "astype") else it
+        hh = list(vals[:ALPHA])
+        ee = list(vals[ALPHA:2 * ALPHA])
+        up_h = vals[2 * ALPHA]
+        up_f = vals[2 * ALPHA + 1]
+        dg0 = vals[2 * ALPHA + 2]
+        rb = vals[2 * ALPHA + 3] ^ it16
+        hs, fs = [], []
+        for k in range(ALPHA):
+            e_k = jnp.maximum(hh[k] - jnp.int16(GO), ee[k]) - jnp.int16(GE)
+            uh = up_h if k == 0 else hs[k - 1]
+            uf = up_f if k == 0 else fs[k - 1]
+            f_k = jnp.maximum(uh - jnp.int16(GO), uf) - jnp.int16(GE)
+            dg = dg0 if k == 0 else hh[k - 1]
+            sub = jnp.where(rb == jnp.int16(k), jnp.int16(1),
+                            jnp.int16(-3))
+            h_k = jnp.maximum(jnp.maximum(dg + sub, e_k), f_k)
+            h_k = jnp.maximum(h_k, jnp.int16(0))
+            hs.append(h_k)
+            fs.append(f_k)
+            ee[k] = e_k
+        return hs + ee + [up_h, up_f, dg0, vals[2 * ALPHA + 3]]
+
+    try:
+        mix16_dt, _ = bench_kernel(mix16_body, 2 * ALPHA + 4, "m16",
+                                   ALPHA * OPS_PER_K, dtype=jnp.int16,
+                                   lanes=256)
+        cells16_s = T * ALPHA * RS * 256 / mix16_dt
+    except Exception as e:  # Mosaic may reject int16 shapes outright
+        print(f"m16 : REJECTED ({type(e).__name__}: {str(e)[:120]})")
+        cells16_s = None
+
     print(json.dumps({
         "par_native_ops_per_s": round(par_rate / 1e9, 2),
         "ser_latency_ns": round(lat_s * 1e9, 2),
         "mix_alpha": ALPHA,
         "mix_rs": RS,
         "mix_bound_gcups": round(cells_s / 1e9, 1),
+        "mix16_bound_gcups": (round(cells16_s / 1e9, 1)
+                              if cells16_s else None),
         "note": "mix omits shifts/flush/rolls/bus stores: it is an "
-                "UPPER bound on the full kernel at this (alpha, rs)",
+                "UPPER bound on the full kernel at this (alpha, rs); "
+                "mix16 is the same mix on int16 (RS,256) — the 2x "
+                "packing lever is real only if mix16 ~= 2x mix",
     }))
 
 
