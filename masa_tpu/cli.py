@@ -240,7 +240,10 @@ def main(argv=None) -> int:
             fork_backend = default_backend()
         res = run_fork(seq0, seq1, fw, jcfg.work_dir, params,
                        backend=fork_backend,
-                       max_partition=args.maximum_partition)
+                       max_partition=args.maximum_partition,
+                       output_format=(args.output_format
+                                      if args.output_format != "binary"
+                                      else "text"))
         print(f"alignment score: {res['score']}  "
               f"({len(fw)} forked processes; matches={res['matches']} "
               f"mismatches={res['mismatches']} "

@@ -91,13 +91,17 @@ def _mm_cfg(h_max: int, params: ScoreParams) -> wf.WavefrontConfig:
 
 
 def _split_height(h: int) -> int:
-    """Top-half height: ~h/2 rounded DOWN to an 8-per-octave bucket (in
-    [1, h-1])."""
+    """Top-half height: ~h/2 rounded DOWN to a lane-granularity multiple
+    (in [1, h-1]).  The dynamic-height Mosaic kernel handles any
+    multiple of alpha*128 with ONE compile key; bucketing the split to
+    1024 (legal for both rungs) makes most halves tail-free, and the
+    sub-granularity tails chain through the XLA dyn engine."""
     t = h // 2
-    if t <= 128:
-        return max(t, 1)
-    q = 1 << max(t.bit_length() - 4, 0)
-    return (t // q) * q
+    if t >= 2048:
+        return (t // 1024) * 1024
+    if t >= 512:
+        return (t // 512) * 512
+    return max(t, 1)
 
 
 @dataclasses.dataclass
@@ -149,6 +153,7 @@ def _dyn_engine(cfg: wf.WavefrontConfig, T: int, go: int, ge: int):
     a = cfg.alpha
 
     def one(s0d, s1d, i0, j0, r0, col_code, bus_h, bus_f, h_rem):
+        r0 = jnp.asarray(r0, jnp.int32)
         hs = jnp.clip(h_rem, 1, R)
         a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
         a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
@@ -171,7 +176,7 @@ def _dyn_engine(cfg: wf.WavefrontConfig, T: int, go: int, ge: int):
                 jnp.where(keep, lf, bus_f))
 
     return jax.jit(jax.vmap(
-        one, in_axes=(None, None, 0, 0, None, 0, 0, 0, 0)))
+        one, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))
 
 
 @functools.lru_cache(maxsize=16)
@@ -218,7 +223,8 @@ def _halves_dyn(dev: _DevSeqs, halves: list[_Half], rev: bool,
     bh, bf = _dyn_bus_init(T, go, ge)(rcodes)
     fn = _dyn_engine(cfg, T, go, ge)
     for s0r in range(0, h_max, cfg.rows):
-        bh, bf = fn(s0d, s1d, i0s, j0s, s0r, ccodes, bh, bf,
+        bh, bf = fn(s0d, s1d, i0s, j0s,
+                    jnp.full(B, s0r, jnp.int32), ccodes, bh, bf,
                     heights - s0r)
     return bh[:, :njq], bf[:, :njq]
 
@@ -313,43 +319,48 @@ def _halves_pallas(dev: _DevSeqs, halves: list[_Half], rev: bool,
             jnp.stack([x[1][:njq] for x in buses]))
 
 
-@functools.lru_cache(maxsize=64)
-def _mosaic_prep(cfg: wf.WavefrontConfig, njq: int, go: int, ge: int):
-    """vmapped on-device prep for the batched Mosaic kernel: per element
-    slice the strip chars, synthesize the pinned column border, pack to
-    the lane layout — ONE dispatch for the whole batch."""
+@functools.lru_cache(maxsize=32)
+def _mosaic_dyn_step(cfg: wf.WavefrontConfig, njq: int, B: int, go: int,
+                     ge: int):
+    """One chained-strip step for a whole batch with PER-ELEMENT heights
+    as ONE fused call: on-device prep (strip chars, border synthesis,
+    lane packing), the dynamic-height Mosaic kernel, and per-element
+    logical bus realignment.  Compile keys: (cfg, njq, B) only — every
+    stage-4 level reuses the same compiled step whatever its heights."""
     plen = wf.padded_len(cfg, njq)
     R = cfg.rows
+    a = cfg.alpha
 
-    def one(s0d, s1d, i0, j0, r0, col_code):
-        a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
-        a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
-        kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
-        ih = wf.pack_lanes_jnp(cfg, _border_h_dev(col_code, kk, go, ge))
-        ie = wf.pack_lanes_jnp(cfg, jnp.full(R, NEG, jnp.int32))
-        corner = _border_h_dev(col_code, r0, go, ge)
-        b = jax.lax.dynamic_slice(s1d, (j0,), (plen,))
-        return a_lanes, ih, ie, corner, b
+    @functools.partial(jax.jit, donate_argnums=(7, 8))
+    def step(s0d, s1d, i0s, j0s, r0, ccodes, hvs, bh, bf):
+        def prep_one(i0, j0, col_code):
+            a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
+            a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
+            kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
+            ih = wf.pack_lanes_jnp(cfg,
+                                   _border_h_dev(col_code, kk, go, ge))
+            ie = wf.pack_lanes_jnp(cfg, jnp.full(R, NEG, jnp.int32))
+            corner = _border_h_dev(col_code, r0, go, ge)
+            b = jax.lax.dynamic_slice(s1d, (j0,), (plen,))
+            return a_lanes, ih, ie, corner, b
 
-    return jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0, None, 0)))
+        a_all, ih_all, ie_all, corners, b_all = jax.vmap(prep_one)(
+            i0s, j0s, ccodes)
+        lanes = jnp.clip((hvs - 1) // a, 0, cfg.lanes - 1)
+        frs = lanes // 128
+        ph, pf = wf.batched_strip_pallas_dyn(
+            cfg, a_all, b_all, bh, bf, ih_all, ie_all, corners, frs,
+            nj=njq, B=B)
+        fill = jnp.full(plen, NEG, jnp.int32)
 
+        def realign(p, lane):
+            return jax.lax.dynamic_slice(
+                jnp.concatenate([p, fill]), (lane,), (plen,))
 
-@functools.lru_cache(maxsize=64)
-def _mosaic_step(cfg: wf.WavefrontConfig, njq: int, hk: int, B: int):
-    """One chained-strip step for a whole batch as ONE Mosaic dispatch
-    (grid (B, chunks)), plus the logical bus realignment."""
-    plen = wf.padded_len(cfg, njq)
-    lane = (hk - 1) // cfg.alpha
-
-    @jax.jit
-    def step(a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners):
-        ph, pf = wf.batched_strip_pallas(
-            cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all, corners,
-            nj=njq, h_true=hk, B=B)
-        fill = jnp.full((B, lane), NEG, jnp.int32)
-        lh = jnp.concatenate([ph[:, lane:], fill], axis=1)
-        lf = jnp.concatenate([pf[:, lane:], fill], axis=1)
-        return lh, lf
+        lh = jax.vmap(realign)(ph, lanes)
+        lf = jax.vmap(realign)(pf, lanes)
+        keep = (hvs > 0)[:, None]
+        return jnp.where(keep, lh, bh), jnp.where(keep, lf, bf)
 
     return step
 
@@ -362,49 +373,82 @@ _TRACE = bool(_os.environ.get("MASA_TPU_STAGE4_TRACE"))
 
 def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
                    params: ScoreParams, njq: int):
-    """Equal-height halves as ONE batched Mosaic dispatch per chained
-    strip — the engine for deep levels where hundreds of small pairs
-    would otherwise cost a dispatch each.  B pads to a pow2 bucket
-    (bounded compile variety; padded elements replay element 0)."""
-    h = halves[0].h
-    assert all(x.h == h for x in halves)
-    cfg = _pallas_mm_cfg(h, njq, params)
+    """A tile of halves (ANY mix of heights) through the dynamic-height
+    batched Mosaic kernel: one dispatch per chained strip for the whole
+    tile, whatever the heights.  Each element's height splits into a
+    lane-granularity BODY (multiples of alpha*128, through the kernel)
+    and a sub-granularity TAIL (through the XLA dyn engine) — so the
+    Mosaic compile-key set is (cfg, njq, B) and never grows with the
+    height mix.  B pads to _B_TILE on the merged deep-level width
+    (padded elements are height-0 and masked)."""
+    B = len(halves)
+    h_max = max(x.h for x in halves)
+    cfg = _pallas_mm_cfg(h_max, njq, params)
+    gran = cfg.alpha * 128
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext
     plen = wf.padded_len(cfg, njq)
-    Bb = 1 << (len(halves) - 1).bit_length()
-    pad = [halves[0]] * (Bb - len(halves))
-    grp = list(halves) + pad
+    Bb = _B_TILE if njq <= 8192 else 1 << (B - 1).bit_length()
+    grp = list(halves) + [
+        dataclasses.replace(halves[0], h=0)] * (Bb - B)
+    bodies = [(x.h // gran) * gran for x in grp]
+    tails = [x.h - b for x, b in zip(grp, bodies)]
     s0d, s1d = dev.views(rev)
     t0 = _time.time()
     i0s = jnp.asarray([x.i0 for x in grp], jnp.int32)
     j0s = jnp.asarray([x.j0 for x in grp], jnp.int32)
     ccodes = jnp.asarray([x.col_code for x in grp], jnp.int32)
     rcodes = jnp.asarray([x.row_code for x in grp], jnp.int32)
+    bodies_a = jnp.asarray(bodies, jnp.int32)
     bh, bf = _dyn_bus_init(plen, go, ge)(rcodes)
-    prep = _mosaic_prep(cfg, njq, go, ge)
+    step = _mosaic_dyn_step(cfg, njq, Bb, go, ge)
     t1 = _time.time()
-    tp = ts = 0.0
-    for s0r in range(0, h, R):
-        hk = min(R, h - s0r)
+    ts = 0.0
+    for s0r in range(0, max(bodies), R):
         ta = _time.time()
-        a_all, ih_all, ie_all, corners, b_all = prep(
-            s0d, s1d, i0s, j0s, jnp.int32(s0r), ccodes)
-        if _TRACE:
-            jax.block_until_ready(a_all)
-        tb = _time.time()
-        bh, bf = _mosaic_step(cfg, njq, hk, Bb)(
-            a_all, b_all, bh, bf, ih_all, ie_all, corners)
+        hvs = jnp.clip(bodies_a - s0r, 0, R)
+        bh, bf = step(s0d, s1d, i0s, j0s, jnp.int32(s0r), ccodes, hvs,
+                      bh, bf)
         if _TRACE:
             jax.block_until_ready(bh)
             np.asarray(bh[0, :1])
-        tp += tb - ta
-        ts += _time.time() - tb
+        ts += _time.time() - ta
+
+    tt = 0.0
+    if max(tails) > 0:
+        # sub-granularity tails: one vmapped XLA pass, per-element
+        # (r0 = body, h_rem = tail); tail-less elements keep their bus
+        ta = _time.time()
+        base = (_MM_LADDER[0] if max(tails) < _MM_LADDER[0].rows
+                else _MM_LADDER[1])
+        dcfg = dataclasses.replace(
+            base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+            track_best=False, store_lastcol=False,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=go, gap_ext=ge)
+        T = dcfg.steps(njq)
+        if T > plen:
+            fill = jnp.full((Bb, T - plen), NEG, jnp.int32)
+            dh = jnp.concatenate([bh, fill], axis=1)
+            df = jnp.concatenate([bf, fill], axis=1)
+        else:
+            dh, df = bh[:, :T], bf[:, :T]
+        fn = _dyn_engine(dcfg, T, go, ge)
+        th, tf = fn(s0d, s1d, i0s, j0s, bodies_a, ccodes, dh, df,
+                    jnp.asarray(tails, jnp.int32))
+        pad_back = jnp.full((Bb, max(plen - T, 0)), NEG, jnp.int32)
+        bh = jnp.concatenate([th, pad_back], axis=1)[:, :plen]
+        bf = jnp.concatenate([tf, pad_back], axis=1)[:, :plen]
+        if _TRACE:
+            jax.block_until_ready(bh)
+            np.asarray(bh[0, :1])
+        tt = _time.time() - ta
     if _TRACE:
-        print(f"    [mosaic B={len(halves)}->{Bb} h={h} hk_R={R} "
-              f"njq={njq} init={t1-t0:.2f} prep={tp:.2f} "
-              f"step={ts:.2f}", flush=True)
-    return bh[: len(halves), :njq], bf[: len(halves), :njq]
+        hs = sorted({x.h for x in halves})
+        print(f"    [mosaic-dyn B={B}->{Bb} h={hs[0]}..{hs[-1]} R={R} "
+              f"njq={njq} init={t1-t0:.2f} steps={ts:.2f} "
+              f"tail={tt:.2f}", flush=True)
+    return bh[:B, :njq], bf[:B, :njq]
 
 
 # Engine choice, measured on the tunneled v5e (warm, forced completion):
@@ -431,20 +475,14 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
     B = len(halves)
     h_max = max(x.h for x in halves)
     if jax.default_backend() == "tpu" and h_max > _DYN_H_MAX:
-        by_h: dict[int, list[int]] = {}
-        for i, hf in enumerate(halves):
-            by_h.setdefault(hf.h, []).append(i)
-        bh_all = [None] * B
-        bf_all = [None] * B
-        for hgrp, idxs in by_h.items():
-            for off in range(0, len(idxs), _B_TILE):
-                tile = idxs[off : off + _B_TILE]
-                grp = [halves[i] for i in tile]
-                bh, bf = _halves_mosaic(dev, grp, rev, params, njq)
-                for r, i in enumerate(tile):
-                    bh_all[i] = bh[r]
-                    bf_all[i] = bf[r]
-        return jnp.stack(bh_all), jnp.stack(bf_all)
+        # the dynamic-height kernel takes a tile's height MIX directly —
+        # no grouping by height, no per-height compile keys
+        outs = []
+        for off in range(0, B, _B_TILE):
+            outs.append(_halves_mosaic(
+                dev, halves[off : off + _B_TILE], rev, params, njq))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
     return _halves_dyn(dev, halves, rev, params, njq)
 
 

@@ -1106,6 +1106,165 @@ def batched_strip_pallas(cfg: WavefrontConfig, a_all, b_all, bus_h_all,
     return (out[0].reshape(B, ng * C), out[1].reshape(B, ng * C))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "nj", "B"))
+def batched_strip_pallas_dyn(cfg: WavefrontConfig, a_all, b_all,
+                             bus_h_all, bus_f_all, ih_all, ie_all,
+                             corners, frs, nj: int, B: int):
+    """The batched NW strip kernel with PER-ELEMENT strip heights.
+
+    The static kernel bakes the flush position (which row of the strip
+    feeds the output bus) into the compile — so every distinct height in
+    a stage-4 level was its own Mosaic compile key (~15 s cache load per
+    key per process, minutes to compile cold).  Here the element height
+    enters as data: heights are restricted to multiples of
+    ``alpha * 128`` (the lane granularity), which pins the flush
+    SUB-ROW to ``alpha - 1`` and the flush lane column to 127 statically
+    — only the flush SUBLANE varies, prefetched per element as ``frs``
+    and applied with a one-hot sublane max (a few extra VPU ops per
+    step).  Sub-granularity height tails chain through the XLA dyn
+    engine outside.  Compile keys collapse to (cfg, nj, B).
+
+    a/ih/ie: (B, A, RS, 128); b/bus: (B, plen); corners, frs: (B,).
+    Elements with height 0 still compute (sentinel rows); callers mask
+    their outputs.  Returns physical buses (B, plen): element k's
+    logical column j sits at [k, j + lane_k], lane_k = frs[k]*128+127.
+    """
+    assert not cfg.track_best and not cfg.store_lastcol
+    assert cfg.chunk >= cfg.lanes and cfg.chunk % 128 == 0
+    C = cfg.chunk
+    ng = _num_chunks(cfg, nj)
+    a = cfg.alpha
+    # static flush template: heights are multiples of alpha*128, so the
+    # flush sub-row is always alpha-1 (h_true=cfg.rows makes _make_step
+    # return hs[alpha-1]) and the lane column is always 127
+    make_fast = _make_step(cfg, nj, cfg.rows, fast=True)
+    make_edge = _make_step(cfg, nj, cfg.rows, fast=False)
+    n_state = 2 * a + 5
+
+    def kernel(cr_ref, fr_ref, a_ref, ih_ref, ie_ref, b_ref, bh_ref,
+               bf_ref, bho_ref, bfo_ref, state_ref):
+        bb = pl.program_id(0)
+        g = pl.program_id(1)
+        a_lanes_v = [a_ref[0, k] for k in range(a)]
+        init_h_v = [ih_ref[0, k] for k in range(a)]
+        init_e_v = [ie_ref[0, k] for k in range(a)]
+        step_fast = make_fast(a_lanes_v, init_h_v, init_e_v)
+        step_edge = make_edge(a_lanes_v, init_h_v, init_e_v)
+
+        # one-hot sublane mask for this element's flush row (invariant
+        # across the whole grid step)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cfg.rs, 128), 0)
+        sel_fr = row_iota == fr_ref[bb]
+
+        def load_state():
+            flat = [state_ref[i] for i in range(n_state)]
+            it = iter(flat)
+            take = lambda n: tuple(next(it) for _ in range(n))
+            hh, ee = take(a), take(a)
+            r3h1, r3h2, r3f, rb = take(4)
+            bhp = next(it)[0:1, 0:1]
+            return (hh, ee, r3h1, r3h2, r3f, rb, bhp, (), (), (), ())
+
+        def pack_state(st):
+            (hh, ee, r3h1, r3h2, r3f, rb, bhp, _bv, _bt, _lh, _le) = st
+            flat = (list(hh) + list(ee) + [r3h1, r3h2, r3f, rb, None])
+            for i, v in enumerate(flat):
+                if v is None:
+                    state_ref[i, 0:1, :] = jnp.broadcast_to(bhp, (1, 128))
+                else:
+                    state_ref[i] = v
+
+        st0 = jax.lax.cond(
+            g == 0,
+            lambda: _init_state(cfg, cr_ref[bb], init_h_v, init_e_v),
+            load_state,
+        )
+        is_edge = jnp.logical_or(g == 0, (g + 1) * C > nj - 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def run(step_fn, st_in):
+            nblk = C // 128
+
+            def outer(bi, st):
+                b_row0 = b_ref[0, pl.ds(bi, 1), :]
+                bh_row0 = bh_ref[0, pl.ds(bi, 1), :]
+                bf_row0 = bf_ref[0, pl.ds(bi, 1), :]
+                zrow = jnp.zeros((1, 128), jnp.int32)
+                U = cfg.unroll
+                assert 128 % U == 0
+
+                def inner(kb, carry):
+                    st, b_row, bh_row, bf_row, bufh, buff = carry
+                    for u in range(U):
+                        k = kb * U + u
+                        t = g * C + bi * 128 + k
+                        st, h_fl, f_fl = step_fn(
+                            st, t,
+                            b_row[0:1, 0:1],
+                            bh_row[0:1, 0:1],
+                            bf_row[0:1, 0:1],
+                        )
+                        # dynamic sublane extraction: one-hot max over
+                        # sublanes, then the static lane column 127
+                        vh = jnp.max(jnp.where(sel_fr, h_fl, -INF),
+                                     axis=0, keepdims=True)
+                        vf = jnp.max(jnp.where(sel_fr, f_fl, -INF),
+                                     axis=0, keepdims=True)
+                        sel = lane128 == k
+                        bufh = jnp.where(sel, vh[0:1, 127:128], bufh)
+                        buff = jnp.where(sel, vf[0:1, 127:128], buff)
+                        b_row = jnp.roll(b_row, -1, axis=1)
+                        bh_row = jnp.roll(bh_row, -1, axis=1)
+                        bf_row = jnp.roll(bf_row, -1, axis=1)
+                    return (st, b_row, bh_row, bf_row, bufh, buff)
+
+                st2, _, _, _, bufh, buff = jax.lax.fori_loop(
+                    0, 128 // U, inner,
+                    (st, b_row0, bh_row0, bf_row0, zrow, zrow),
+                )
+                bho_ref[0, pl.ds(bi, 1), :] = bufh
+                bfo_ref[0, pl.ds(bi, 1), :] = buff
+                return st2
+
+            return jax.lax.fori_loop(0, nblk, outer, st_in)
+
+        st = jax.lax.cond(
+            is_edge, lambda s: run(step_edge, s),
+            lambda s: run(step_fast, s), st0,
+        )
+        pack_state(st)
+
+    vec_spec = pl.BlockSpec((1, a, cfg.rs, 128),
+                            lambda bb, g, *_: (bb, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    chunk_spec = pl.BlockSpec((1, C // 128, 128),
+                              lambda bb, g, *_: (bb, g, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, ng),
+        in_specs=[vec_spec, vec_spec, vec_spec,
+                  chunk_spec, chunk_spec, chunk_spec],
+        out_specs=[chunk_spec, chunk_spec],
+        scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, ng * C // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, ng * C // 128, 128), jnp.int32),
+        ],
+        interpret=cfg.interpret,
+    )(corners.astype(jnp.int32).reshape(B),
+      frs.astype(jnp.int32).reshape(B),
+      a_all, ih_all, ie_all,
+      b_all.reshape(B, ng * C // 128, 128),
+      bus_h_all.reshape(B, ng * C // 128, 128),
+      bus_f_all.reshape(B, ng * C // 128, 128))
+    return (out[0].reshape(B, ng * C), out[1].reshape(B, ng * C))
+
+
 def slice_bus(cfg: WavefrontConfig, bus_phys, nj: int, h_true: int):
     """Extract the logical (nj,) bus from a physical array: the flush row's
     column j is emitted at step t = j + flush_lane."""

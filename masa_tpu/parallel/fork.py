@@ -187,6 +187,24 @@ def worker_main(config_path: str) -> int:
         json.dump(out, f)
     with open(os.path.join(cfg["shared_dir"], "alignment.txt"), "w") as f:
         f.write(stage6.render_text(aln, seq0, seq1))
+
+    # the standard work-dir artifact set (same as every other CLI mode:
+    # CGFF binary, the requested stage-6 rendering, the final crosspoint
+    # file — libmasa.cpp:1351-1394 writes these in all modes)
+    wd = os.path.dirname(cfg["shared_dir"]) or "."
+    from masa_tpu.biology import alignment as balign
+
+    balign.write_cgff(os.path.join(wd, "alignment.00.cgff"), aln)
+    cps_dir = os.path.join(wd, "crosspoints")
+    os.makedirs(cps_dir, exist_ok=True)
+    cf0 = CrosspointsFile(os.path.join(cps_dir, "crosspoint_04.00"))
+    cf0.crosspoints = chain
+    cf0.save()
+    fmt = cfg.get("output_format", "text")
+    render = stage6.FORMATS.get(fmt, stage6.FORMATS["text"])
+    text, ext = render(aln, seq0, seq1)
+    with open(os.path.join(wd, f"alignment.00.{ext}"), "w") as f:
+        f.write(text)
     return 0
 
 
@@ -205,6 +223,7 @@ def run_fork(
     extra_env: dict | None = None,
     platform: str | None = None,
     traceback: str = "pipelined",
+    output_format: str = "text",
 ):
     """Spawn one worker process per slab and reap them
     (fork_multi_process + the wait loop, libmasa.cpp:540-642).
@@ -241,6 +260,7 @@ def run_fork(
             "device": devices[k] if devices else None,
             "platform": platform,
             "traceback": traceback,
+            "output_format": output_format,
         }
         if kernel_cfg is not None:
             cfg["kernel_cfg"] = {

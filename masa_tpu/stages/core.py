@@ -329,6 +329,11 @@ def partition_config(rows: int, width: int) -> wf.WavefrontConfig:
     w = max(width, 1)
     best, best_cost = None, None
     for cfg in _TPU_LADDER:
+        if cfg.rows * 2 > rows and cfg is not _TPU_LADDER[0]:
+            # keep adaptive_config's rung set: a taller one-strip rung
+            # would save ~one dispatch but introduce a NEW Mosaic
+            # compile key (minutes remote, ~15 s per fresh process)
+            continue
         full = rows // cfg.rows
         rem = rows % cfg.rows
         cost = (full * (cfg.rows * w / _KERNEL_GCUPS + _DISPATCH_S)

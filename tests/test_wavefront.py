@@ -343,6 +343,69 @@ def test_batched_strip_pallas_interpret_parity():
                                       ref.last_f[1:])
 
 
+def test_batched_strip_pallas_dyn_mixed_heights():
+    """The dynamic-height batched kernel: one call, PER-ELEMENT strip
+    heights (multiples of alpha*128), every element's flush row exact
+    against the oracle — the property that collapses stage 4's Mosaic
+    compile keys to (cfg, njq, B)."""
+    import numpy as np
+
+    from masa_tpu.models.scoring import border_cells
+    from masa_tpu.ops import oracle
+    from masa_tpu.ops import wavefront as wf
+    from masa_tpu.types import InitType, Recurrence, ScoreParams
+
+    P = ScoreParams()
+    cfg = WavefrontConfig(alpha=2, rs=2, chunk=256,
+                          recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+                          track_best=False, store_lastcol=False,
+                          interpret=True)
+    gran = cfg.alpha * 128          # 256; R = 512 -> a real height MIX
+    R = cfg.rows
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B, nj = 3, 256
+    heights = [R, gran, R]          # 512, 256, 512
+    plen = wf.padded_len(cfg, nj)
+    a_all = np.empty((B, cfg.alpha, cfg.rs, 128), np.int32)
+    ih_all = np.empty_like(a_all)
+    ie_all = np.empty_like(a_all)
+    b_all = np.full((B, plen), wf.B_SENTINEL, np.int32)
+    bh_all = np.full((B, plen), -wf.INF, np.int32)
+    bf_all = np.full((B, plen), -wf.INF, np.int32)
+    corners = np.zeros(B, np.int32)
+    frs = np.zeros(B, np.int32)
+    refs = []
+    for k in range(B):
+        h = heights[k]
+        s0 = rng.choice(bases, R).astype(np.uint8)   # padded to R rows
+        w = [200, 256, 130][k]
+        s1 = rng.choice(bases, w).astype(np.uint8)
+        rh, _ = border_cells(w + 1, InitType.WITH_GAPS, P)
+        a_all[k] = wf.pack_strip_rows(cfg, s0.astype(np.int32))
+        b_all[k, :w] = s1
+        bh_all[k, :w] = rh[1:]
+        ch, ce = border_cells(R, InitType.WITH_GAPS, P, start=1)
+        ihp, iep = wf.pack_border_cols(cfg, ch, ce)
+        ih_all[k], ie_all[k] = ihp, iep
+        corners[k] = rh[0]
+        frs[k] = ((h - 1) // cfg.alpha) // 128
+        refs.append((s0[:h], s1, w, h))
+    bh, bf = wf.batched_strip_pallas_dyn(
+        cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all,
+        corners, frs, nj=nj, B=B)
+    bh = np.asarray(bh)
+    bf = np.asarray(bf)
+    for k, (s0, s1, w, h) in enumerate(refs):
+        ref = oracle.dp_rows(s0, s1, P, Recurrence.NEEDLEMAN_WUNSCH,
+                             InitType.WITH_GAPS, InitType.WITH_GAPS)
+        lane = (h - 1) // cfg.alpha
+        np.testing.assert_array_equal(bh[k, lane : lane + w],
+                                      ref.last_h[1:])
+        np.testing.assert_array_equal(bf[k, lane : lane + w],
+                                      ref.last_f[1:])
+
+
 def test_async_packed_special_pulls(dna, homolog, monkeypatch):
     """The deferred delta-packed special-row pulls must deliver exactly
     the rows the synchronous path produces (values, order, and the final
