@@ -262,17 +262,19 @@ def _pallas_step_sliced(cfg: wf.WavefrontConfig, njq: int, hk: int,
     return step
 
 
-def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams):
+def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams, B: int = 1):
     """Cost-aware ladder choice: the kernel computes ALL R strip rows
-    regardless of h_true, so covering h with one oversized strip can
-    waste up to ~6x compute vs chaining a smaller rung; weigh computed
-    cells (~150 GCUPS) against per-dispatch latency (~20 ms)."""
+    regardless of the true height, so covering h with one oversized
+    strip can waste up to ~6x compute vs chaining a smaller rung; weigh
+    computed cells (~150 GCUPS) TIMES the batch size against the
+    per-dispatch latency (~20 ms) — at B=128 the padded compute
+    dominates and a smaller rung with more chains wins."""
     from masa_tpu.stages.core import _TPU_LADDER
 
     best, best_cost = None, None
     for c in _TPU_LADDER:
         chains = -(-h // c.rows)
-        cost = chains * (c.rows * njq / 150e9 + 0.02)
+        cost = chains * (max(B, 1) * c.rows * njq / 150e9 + 0.02)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return dataclasses.replace(
@@ -383,7 +385,7 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     (padded elements are height-0 and masked)."""
     B = len(halves)
     h_max = max(x.h for x in halves)
-    cfg = _pallas_mm_cfg(h_max, njq, params)
+    cfg = _pallas_mm_cfg(h_max, njq, params, B)
     gran = cfg.alpha * 128
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext

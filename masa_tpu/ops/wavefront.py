@@ -942,8 +942,10 @@ def goal_match_device(cut_h, cut_f, rev_h, rev_f, cj, goal, rev0h, rev0f,
     1=gapped, 2=err-sum-match, 3=err-sum-gap, 4=no-stop — exactly
     models.scoring.match_column's outcome set."""
     W = W1 - 1
-    fwd_h = jnp.flip(jax.lax.dynamic_slice(cut_h, (cj - W1 + 1,), (W1,)))
-    fwd_f = jnp.flip(jax.lax.dynamic_slice(cut_f, (cj - W1 + 1,), (W1,)))
+    # fwd_k[k] must read H(column cj - k) = cut[(cj - k) - 1]: the flip
+    # of the W1-wide window STARTING AT cj - W1 (bus index j-1!)
+    fwd_h = jnp.flip(jax.lax.dynamic_slice(cut_h, (cj - W1,), (W1,)))
+    fwd_f = jnp.flip(jax.lax.dynamic_slice(cut_f, (cj - W1,), (W1,)))
     rh = jnp.concatenate([rev0h.reshape(1), rev_h[:W]]).astype(jnp.int32)
     rf = jnp.concatenate([rev0f.reshape(1), rev_f[:W]]).astype(jnp.int32)
     sum_m = fwd_h.astype(jnp.int32) + rh

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Large-scale on-chip full-alignment run with a persistent work dir
+(crash-resumable: rerun the same command to continue).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/big_run.py 5M
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/big_run.py 23M
+
+Targets (reference GTX 560 Ti, TPDS2013 / BASELINE.md):
+    5M  (AE016879.1 x AE017225.1 class)  : 558 s score-only, 48.98 GCUPS
+    23M (NT_033779.4 x NT_037436.3 class): 5h29m full, 28.59 GCUPS
+
+Probe-gated; prints one JSON line at the end.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SIZES = {"1M": 1 << 20, "3M": 3 << 20, "5M": 5 << 20, "8M": 1 << 23,
+         "23M": 23 << 20}
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "5M"
+    m = SIZES[size]
+    n_target = (25 << 20) if size == "23M" else m  # 23M pairs with 25M
+
+    from masa_tpu.utils.devices import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    from bench import homolog
+    from masa_tpu.ops import strips
+    from masa_tpu.ops.wavefront import WavefrontConfig
+    from masa_tpu.types import InitType, ScoreParams
+
+    params = ScoreParams()
+    cfg = WavefrontConfig(alpha=32, rs=32, chunk=8192, track_best=True,
+                          store_lastcol=False)
+    R = cfg.rows
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    print(f"[gen] {size}: m={m} n~{n_target}", flush=True)
+    s0 = rng.choice(bases, size=m).astype(np.uint8)
+    h1 = homolog(np.random.default_rng(1), s0, indel_every=1 << 16)
+    if n_target > m:  # asymmetric pair: extend with unrelated sequence
+        extra = np.random.default_rng(2).choice(
+            bases, size=n_target - len(h1)).astype(np.uint8)
+        h1 = np.concatenate([h1, extra])
+
+    def probe():
+        sub = s0[:2 * R]
+        t0 = time.time()
+        strips.run_partition(cfg, sub, h1[:1 << 20], params,
+                             InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+                             backend="pallas", want_last_row=False)
+        return 2 * R * (1 << 20) / (time.time() - t0) / 1e9
+
+    probe()
+    for i in range(48):
+        g = probe()
+        print(f"[probe {i}] {g:.1f} GCUPS", flush=True)
+        if g > 100:
+            break
+        time.sleep(270)
+    else:
+        print("chip never recovered; aborting", flush=True)
+        return 1
+
+    from masa_tpu.core.job import Job, JobConfig
+    from masa_tpu.stages import runner
+
+    wd = os.path.expanduser(f"~/masa_big_{size}.work")
+    job = Job(JobConfig(work_dir=wd))
+    t0 = time.time()
+    marks = {}
+
+    def log(*a, **k):
+        msg = " ".join(str(x) for x in a)
+        if "flushed row" in msg:
+            if int(time.time()) % 60 < 2:
+                print(f"[{time.time()-t0:9.2f}s]", msg, flush=True)
+            return
+        if msg.startswith("stage"):
+            marks[msg.split(":")[0]] = round(time.time() - t0, 2)
+        print(f"[{time.time()-t0:9.2f}s]", msg, flush=True)
+
+    aln = runner.align_job(job, s0, h1, log=log)
+    dt = time.time() - t0
+    cells = m * len(h1)
+    print(json.dumps({
+        "size": size, "m": m, "n": len(h1),
+        "full_alignment_s": round(dt, 2),
+        "full_gcups": round(cells / dt / 1e9, 2),
+        "score": int(aln.raw_score),
+        "stage_end_marks_s": marks,
+        "work_dir": wd,
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
