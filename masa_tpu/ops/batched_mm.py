@@ -6,9 +6,12 @@ accelerator is the fast resource and the host may have ONE core.  This
 module re-designs the stage TPU-first:
 
   * Every adjacent crosspoint pair at a split level needs one forward and
-    one reverse NW half-pass.  All pairs of a level run batched (vmapped
-    dynamic-shape scan) or as per-pair fused Pallas dispatches, chosen by
-    a measured cost model per level.
+    one reverse NW half-pass.  All pairs of a level run batched: wide
+    levels through the dynamic-height Mosaic kernel
+    (wf.batched_strip_pallas_dyn, one compile key per (cfg, width,
+    tile)), deep/narrow levels through the XLA row-sweep engine
+    (ops/rowsweep, measured ~9x faster there) — chosen by a measured
+    cost model.
   * **Device-resident data plane**: the four sequence views (seq0, seq1,
     and their reverses) upload ONCE; every half-pass slices its strip
     rows and column window on-device (`lax.dynamic_slice`), synthesizes
@@ -21,10 +24,11 @@ module re-designs the stage TPU-first:
     (exact: DP dependencies never flow leftward, so padded columns cannot
     change real-region values; rows below a half's height likewise only
     read upward).  Heights chain over fixed-size strips.
-  * The split row snaps to an 8-per-octave bucket so the level hierarchy
-    reuses few distinct heights (each static Mosaic shape is a remote
-    compile).  Crosspoints may differ legally from the Python h//2
-    splitter; every result satisfies the stage-5 score invariant.
+  * The split row snaps to lane-granularity buckets so most halves are
+    tail-free; the 1-2 odd-height chains (endpoint/start partitions)
+    finish through a subset row-sweep.  Crosspoints may differ legally
+    from the Python h//2 splitter; every result satisfies the stage-5
+    score invariant.
 """
 
 from __future__ import annotations
@@ -60,34 +64,6 @@ _CODE = {
 # traced border synthesis lives in the kernel module (one copy of the
 # border semantics next to the kernels that consume it)
 _border_h_dev = wf.border_h_traced
-
-
-# The dyn kernel is pure XLA (lax.scan), so tiny vector shapes are legal
-# (no Mosaic restrictions): deep levels with short partitions must not
-# run a 32768-row lane grid.
-_MM_LADDER = (
-    wf.WavefrontConfig(alpha=4, rs=1, chunk=512),    # R = 512
-    wf.WavefrontConfig(alpha=4, rs=8, chunk=4096),   # R = 4096
-    wf.WavefrontConfig(alpha=8, rs=32, chunk=8192),  # R = 32768
-)
-
-
-def _mm_cfg(h_max: int, params: ScoreParams) -> wf.WavefrontConfig:
-    """Smallest ladder config whose strip covers h_max (chaining above
-    the largest).  Compile keys are (config, scan length) only.  The
-    score parameters BAKE INTO the config — the kernels score from the
-    config, not from a params argument (a latent round-1 bug ran every
-    batched split at the default scores)."""
-    base = _MM_LADDER[-1]
-    for cfg in _MM_LADDER:
-        if cfg.rows >= h_max:
-            base = cfg
-            break
-    return dataclasses.replace(
-        base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-        track_best=False, store_lastcol=False,
-        match=params.match, mismatch=params.mismatch,
-        gap_open=params.gap_open, gap_ext=params.gap_ext)
 
 
 def _split_height(h: int) -> int:
@@ -145,40 +121,6 @@ class _DevSeqs:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=32)
-def _dyn_engine(cfg: wf.WavefrontConfig, T: int, go: int, ge: int):
-    """vmapped chained strip of the dynamic kernel with on-device slicing.
-    Per element: traced (i0, j0, r0 local row, col_code, h_rem)."""
-    R = cfg.rows
-    a = cfg.alpha
-
-    def one(s0d, s1d, i0, j0, r0, col_code, bus_h, bus_f, h_rem):
-        r0 = jnp.asarray(r0, jnp.int32)
-        hs = jnp.clip(h_rem, 1, R)
-        a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
-        a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
-        kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
-        ich = _border_h_dev(col_code, kk, go, ge)
-        ice = jnp.full(R, NEG, jnp.int32)
-        ih = wf.pack_lanes_jnp(cfg, ich)
-        ie = wf.pack_lanes_jnp(cfg, ice)
-        corner = _border_h_dev(col_code, r0, go, ge)
-        b = jax.lax.dynamic_slice(s1d, (j0,), (T,))
-        ph, pf = wf.strip_scan_dyn(cfg, a_lanes, b, bus_h, bus_f, ih, ie,
-                                   corner, 0, hs, T=T)
-        lane = (hs - 1) // a
-        idx = jnp.arange(T, dtype=jnp.int32) + lane
-        safe = jnp.clip(idx, 0, T - 1)
-        lh = jnp.where(idx < T, ph[safe], NEG)
-        lf = jnp.where(idx < T, pf[safe], NEG)
-        keep = h_rem > 0
-        return (jnp.where(keep, lh, bus_h),
-                jnp.where(keep, lf, bus_f))
-
-    return jax.jit(jax.vmap(
-        one, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))
-
-
 @functools.lru_cache(maxsize=16)
 def _dyn_bus_init(T: int, go: int, ge: int):
     def one(row_code):
@@ -189,77 +131,51 @@ def _dyn_bus_init(T: int, go: int, ge: int):
     return jax.jit(jax.vmap(one))
 
 
-# One device call must stay well under the remote service's execution
-# watchdog (a single vmapped scan of B x T row-steps that runs for
-# minutes gets the worker killed: "TPU worker process crashed").
-_MAX_ROWSTEPS_PER_CALL = 3_000_000
+# the row-sweep chain rung: ONE compiled key per (width, params); small
+# enough that deep mixed-height levels chain in a couple of calls
+_SWEEP_R = 512
 
 
-def _halves_dyn(dev: _DevSeqs, halves: list[_Half], rev: bool,
-                params: ScoreParams, njq: int):
-    """All halves through the vmapped dyn engine; returns device
-    (B, njq) logical last-row buses."""
+def _halves_sweep(dev: _DevSeqs, halves: list[_Half], rev: bool,
+                  params: ScoreParams, njq: int):
+    """All halves through the vmapped row-sweep engine
+    (ops/rowsweep.batched_sweep_engine): a (B,) x R-row scan per chained
+    rung — measured ~9x faster than the Mosaic path at deep-level shapes
+    (0.05 s vs 0.4 s per tile call) with NO Mosaic compile keys.
+    Returns device (B, njq) logical last-row buses."""
+    from masa_tpu.ops import rowsweep
+
     B = len(halves)
     h_max = max(x.h for x in halves)
-    cfg = _mm_cfg(h_max, params)
-    T = cfg.steps(njq)
     go, ge = params.gap_open, params.gap_ext
-    # watchdog bound applies per device call = one chained strip
-    b_cap = max(1, _MAX_ROWSTEPS_PER_CALL // max(T, 1))
-    if B > b_cap:
-        outs = []
-        for o in range(0, B, b_cap):
-            outs.append(_halves_dyn(dev, halves[o : o + b_cap], rev,
-                                    params, njq))
-        return (jnp.concatenate([x[0] for x in outs]),
-                jnp.concatenate([x[1] for x in outs]))
-
     s0d, s1d = dev.views(rev)
-    i0s = jnp.asarray([x.i0 for x in halves], jnp.int32)
-    j0s = jnp.asarray([x.j0 for x in halves], jnp.int32)
-    ccodes = jnp.asarray([x.col_code for x in halves], jnp.int32)
-    rcodes = jnp.asarray([x.row_code for x in halves], jnp.int32)
-    heights = jnp.asarray([x.h for x in halves], jnp.int32)
-    bh, bf = _dyn_bus_init(T, go, ge)(rcodes)
-    fn = _dyn_engine(cfg, T, go, ge)
-    for s0r in range(0, h_max, cfg.rows):
-        bh, bf = fn(s0d, s1d, i0s, j0s,
-                    jnp.full(B, s0r, jnp.int32), ccodes, bh, bf,
-                    heights - s0r)
-    return bh[:, :njq], bf[:, :njq]
-
-
-@functools.lru_cache(maxsize=128)
-def _pallas_step_sliced(cfg: wf.WavefrontConfig, njq: int, hk: int,
-                        go: int, ge: int):
-    """One fused Mosaic strip for a half: on-device slicing + border
-    synthesis + kernel + bus realignment, single dispatch.  Static keys:
-    (cfg, width bucket, strip height) — heights are 8-per-octave
-    bucketed, so the compile set stays small."""
-    plen = wf.padded_len(cfg, njq)
-    R = cfg.rows
-
-    @functools.partial(jax.jit, donate_argnums=(6, 7))
-    def step(s0d, s1d, i0, j0, r0, col_code, bus_h, bus_f):
-        a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
-        a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
-        kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
-        ich = _border_h_dev(col_code, kk, go, ge)
-        ice = jnp.full(R, NEG, jnp.int32)
-        ih = wf.pack_lanes_jnp(cfg, ich)
-        ie = wf.pack_lanes_jnp(cfg, ice)
-        corner = _border_h_dev(col_code, r0, go, ge)
-        b = jax.lax.dynamic_slice(s1d, (j0,), (plen,))
-        out = wf.strip_pallas(cfg, a_lanes, b, bus_h, bus_f, ih, ie,
-                              corner, njq, hk)
-        fill = jnp.full(plen - njq, NEG, jnp.int32)
-        bh = jnp.concatenate([wf.slice_bus(cfg, out["bus_h"], njq, hk),
-                              fill])
-        bf = jnp.concatenate([wf.slice_bus(cfg, out["bus_f"], njq, hk),
-                              fill])
-        return bh, bf
-
-    return step
+    # fixed batch bucket on TPU (ONE compiled (njq, R, B) key across all
+    # levels; height-0 pads are masked out), tight pow2 on CPU
+    if jax.default_backend() == "tpu":
+        if B > _B_TILE:
+            outs = [_halves_sweep(dev, halves[o : o + _B_TILE], rev,
+                                  params, njq)
+                    for o in range(0, B, _B_TILE)]
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
+        Bb = _B_TILE
+    else:
+        Bb = 1 << (B - 1).bit_length()
+    grp = list(halves) + [
+        dataclasses.replace(halves[0], h=0)] * (Bb - B)
+    i0s = jnp.asarray([x.i0 for x in grp], jnp.int32)
+    j0s = jnp.asarray([x.j0 for x in grp], jnp.int32)
+    ccodes = jnp.asarray([x.col_code for x in grp], jnp.int32)
+    rcodes = jnp.asarray([x.row_code for x in grp], jnp.int32)
+    heights = jnp.asarray([x.h for x in grp], jnp.int32)
+    bh, bf = _dyn_bus_init(njq, go, ge)(rcodes)
+    eng = rowsweep.batched_sweep_engine(
+        njq + 1, _SWEEP_R, False, go, ge, params.match, params.mismatch)
+    for s0r in range(0, h_max, _SWEEP_R):
+        bh, bf = eng(s0d, s1d, i0s, j0s,
+                     jnp.full(Bb, s0r, jnp.int32), ccodes, bh, bf,
+                     heights - s0r)
+    return bh[:B], bf[:B]
 
 
 def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams, B: int = 1):
@@ -282,43 +198,6 @@ def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams, B: int = 1):
         track_best=False, store_lastcol=False,
         match=params.match, mismatch=params.mismatch,
         gap_open=params.gap_open, gap_ext=params.gap_ext)
-
-
-@functools.lru_cache(maxsize=16)
-def _pallas_bus_init(plen: int, go: int, ge: int):
-    def one(row_code):
-        j = jnp.arange(plen, dtype=jnp.int32) + 1
-        return (_border_h_dev(row_code, j, go, ge),
-                jnp.full(plen, NEG, jnp.int32))
-
-    return jax.jit(one)
-
-
-def _halves_pallas(dev: _DevSeqs, halves: list[_Half], rev: bool,
-                   params: ScoreParams, njq: int):
-    """Equal-height halves, one fused on-device-sliced Mosaic dispatch
-    per (half, chained strip).  Independent halves pipeline through async
-    dispatch, which measured FASTER than a grouped batched kernel (the
-    (B, chunks) grid serializes what async dispatch overlaps)."""
-    h = halves[0].h
-    assert all(x.h == h for x in halves)
-    cfg = _pallas_mm_cfg(h, njq, params)
-    R = cfg.rows
-    go, ge = params.gap_open, params.gap_ext
-    plen = wf.padded_len(cfg, njq)
-    s0d, s1d = dev.views(rev)
-    init = _pallas_bus_init(plen, go, ge)
-    buses = []
-    for hf in halves:
-        bh, bf = init(jnp.int32(hf.row_code))
-        for s0r in range(0, h, R):
-            hk = min(R, h - s0r)
-            step = _pallas_step_sliced(cfg, njq, hk, go, ge)
-            bh, bf = step(s0d, s1d, jnp.int32(hf.i0), jnp.int32(hf.j0),
-                          jnp.int32(s0r), jnp.int32(hf.col_code), bh, bf)
-        buses.append((bh, bf))
-    return (jnp.stack([x[0][:njq] for x in buses]),
-            jnp.stack([x[1][:njq] for x in buses]))
 
 
 @functools.lru_cache(maxsize=32)
@@ -418,29 +297,29 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
 
     tt = 0.0
     if max(tails) > 0:
-        # sub-granularity tails: one vmapped XLA pass, per-element
-        # (r0 = body, h_rem = tail); tail-less elements keep their bus
+        # sub-granularity tails (typically the 1-2 odd-height chains
+        # from the endpoint/start partitions): a row-sweep over ONLY the
+        # tail-bearing elements — at wide njq a whole-tile sweep is
+        # slow, a 1-2 element one is ~0.2 s
+        from masa_tpu.ops import rowsweep
+
         ta = _time.time()
-        base = (_MM_LADDER[0] if max(tails) < _MM_LADDER[0].rows
-                else _MM_LADDER[1])
-        dcfg = dataclasses.replace(
-            base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
-            track_best=False, store_lastcol=False,
-            match=params.match, mismatch=params.mismatch,
-            gap_open=go, gap_ext=ge)
-        T = dcfg.steps(njq)
-        if T > plen:
-            fill = jnp.full((Bb, T - plen), NEG, jnp.int32)
-            dh = jnp.concatenate([bh, fill], axis=1)
-            df = jnp.concatenate([bf, fill], axis=1)
-        else:
-            dh, df = bh[:, :T], bf[:, :T]
-        fn = _dyn_engine(dcfg, T, go, ge)
-        th, tf = fn(s0d, s1d, i0s, j0s, bodies_a, ccodes, dh, df,
-                    jnp.asarray(tails, jnp.int32))
-        pad_back = jnp.full((Bb, max(plen - T, 0)), NEG, jnp.int32)
-        bh = jnp.concatenate([th, pad_back], axis=1)[:, :plen]
-        bf = jnp.concatenate([tf, pad_back], axis=1)[:, :plen]
+        idxs = [k for k, t in enumerate(tails) if t > 0]
+        pad_to = 1 << (len(idxs) - 1).bit_length() if idxs else 1
+        sel = idxs + [idxs[0]] * (pad_to - len(idxs))
+        sel_a = jnp.asarray(sel, jnp.int32)
+        eng = rowsweep.batched_sweep_engine(
+            njq + 1, _SWEEP_R, False, go, ge,
+            params.match, params.mismatch)
+        th, tf = eng(
+            s0d, s1d, i0s[sel_a], j0s[sel_a], bodies_a[sel_a],
+            ccodes[sel_a], bh[sel_a, :njq], bf[sel_a, :njq],
+            jnp.asarray([tails[k] for k in sel], jnp.int32))
+        fillw = jnp.full((pad_to, plen - njq), NEG, jnp.int32)
+        th = jnp.concatenate([th, fillw], axis=1)
+        tf = jnp.concatenate([tf, fillw], axis=1)
+        bh = bh.at[sel_a[: len(idxs)]].set(th[: len(idxs)])
+        bf = bf.at[sel_a[: len(idxs)]].set(tf[: len(idxs)])
         if _TRACE:
             jax.block_until_ready(bh)
             np.asarray(bh[0, :1])
@@ -476,16 +355,19 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
     wins.  CPU: dyn."""
     B = len(halves)
     h_max = max(x.h for x in halves)
-    if jax.default_backend() == "tpu" and h_max > _DYN_H_MAX:
-        # the dynamic-height kernel takes a tile's height MIX directly —
-        # no grouping by height, no per-height compile keys
+    if (jax.default_backend() == "tpu" and h_max > _DYN_H_MAX
+            and njq > 8192):
+        # wide levels: the dynamic-height Mosaic kernel takes a tile's
+        # height MIX directly — no per-height compile keys
         outs = []
         for off in range(0, B, _B_TILE):
             outs.append(_halves_mosaic(
                 dev, halves[off : off + _B_TILE], rev, params, njq))
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
-    return _halves_dyn(dev, halves, rev, params, njq)
+    # deep/narrow levels (and every CPU run): the row-sweep engine —
+    # measured ~9x faster than the Mosaic path at these shapes
+    return _halves_sweep(dev, halves, rev, params, njq)
 
 
 # ---------------------------------------------------------------------------

@@ -235,37 +235,50 @@ def run_partition(
             else np.asarray(bus[:nj_out]).astype(np.int64)
 
     # Deferred special-row delivery: the packed bytes copy to the host
-    # asynchronously while later strips compute.  ALL pending rows stay
-    # in flight (each holds a packed ~nj/2-byte device buffer + a bus
-    # snapshot, bounded by m/special_every rows) and deliver at loop end
-    # — blocking mid-loop on the previous row's transfer costs seconds
-    # per emit on a tunneled chip.
+    # asynchronously while later strips compute.  Completed transfers
+    # drain opportunistically (is_ready polling, never blocking the
+    # strip loop); the in-flight count stays small so delivery work
+    # interleaves with compute instead of piling into a serial drain at
+    # loop end (measured: end-loading 7 rows cost ~2 s/row on the
+    # tunnel), and an HBM byte cap bounds the retained bus snapshots at
+    # chromosome scale.
     deferred = []
+
+    def deliver_one():
+        r0_, hh, hf = deferred.pop(0)
+        bh = wf.pull_row_delta_finish(hh)
+        bf = wf.pull_row_delta_finish(hf)
+        if on_special_row:
+            on_special_row(r0_, bh, bf)
+        else:
+            specials[r0_] = (bh, bf)
+
+    def drain_ready():
+        while deferred:
+            _, hh, hf = deferred[0]
+            try:
+                ready = hh[0].is_ready() and hf[0].is_ready()
+            except AttributeError:
+                break
+            if not ready:
+                break
+            deliver_one()
 
     def deliver_deferred():
         while deferred:
-            r, hh, hf = deferred.pop(0)
-            bh = wf.pull_row_delta_finish(hh)
-            bf = wf.pull_row_delta_finish(hf)
-            if on_special_row:
-                on_special_row(r, bh, bf)
-            else:
-                specials[r] = (bh, bf)
+            deliver_one()
 
+    inflight_cap = int(_os.environ.get("MASA_TPU_SPECIAL_INFLIGHT", "2"))
     # each deferred row retains two bus snapshots in HBM; cap the queue
     # by bytes so chromosome-scale runs stay well inside device memory
-    defer_cap = max(1, (2 << 30) // max(blen * 8, 1))
+    defer_cap = max(1, min(inflight_cap,
+                           (2 << 30) // max(blen * 8, 1)))
 
     def emit_special(r, bus_h, bus_f):
         if packed_pull:
+            drain_ready()
             while len(deferred) >= defer_cap:
-                r0_, hh, hf = deferred.pop(0)
-                bh = wf.pull_row_delta_finish(hh)
-                bf = wf.pull_row_delta_finish(hf)
-                if on_special_row:
-                    on_special_row(r0_, bh, bf)
-                else:
-                    specials[r0_] = (bh, bf)
+                deliver_one()
             handle_h = wf.pull_row_delta_start(bus_h, nj_out)
             handle_f = wf.pull_row_delta_start(bus_f, nj_out)
             if on_special_row_dev is not None:
