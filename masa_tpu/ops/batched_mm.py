@@ -212,8 +212,11 @@ def _mosaic_dyn_step(cfg: wf.WavefrontConfig, njq: int, B: int, go: int,
     R = cfg.rows
     a = cfg.alpha
 
-    @functools.partial(jax.jit, donate_argnums=(7, 8))
-    def step(s0d, s1d, i0s, j0s, r0, ccodes, hvs, bh, bf):
+    C = cfg.chunk
+    ng = wf._num_chunks(cfg, njq)
+
+    @functools.partial(jax.jit, donate_argnums=(8, 9))
+    def step(s0d, s1d, i0s, j0s, r0, ccodes, hvs, ws, bh, bf):
         def prep_one(i0, j0, col_code):
             a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
             a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
@@ -229,9 +232,14 @@ def _mosaic_dyn_step(cfg: wf.WavefrontConfig, njq: int, B: int, go: int,
             i0s, j0s, ccodes)
         lanes = jnp.clip((hvs - 1) // a, 0, cfg.lanes - 1)
         frs = lanes // 128
+        # per-element effective chunk count: element k's last needed
+        # physical bus index is (w_k - 1) + flush_lane_k; finished or
+        # sentinel elements (height 0) skip every chunk
+        ngs = jnp.where(hvs > 0, (ws + lanes + C - 1) // C, 0)
+        ngs = jnp.minimum(ngs, ng)
         ph, pf = wf.batched_strip_pallas_dyn(
             cfg, a_all, b_all, bh, bf, ih_all, ie_all, corners, frs,
-            nj=njq, B=B)
+            ngs, nj=njq, B=B)
         fill = jnp.full(plen, NEG, jnp.int32)
 
         def realign(p, lane):
@@ -281,6 +289,7 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     ccodes = jnp.asarray([x.col_code for x in grp], jnp.int32)
     rcodes = jnp.asarray([x.row_code for x in grp], jnp.int32)
     bodies_a = jnp.asarray(bodies, jnp.int32)
+    ws_a = jnp.asarray([x.w for x in grp], jnp.int32)
     bh, bf = _dyn_bus_init(plen, go, ge)(rcodes)
     step = _mosaic_dyn_step(cfg, njq, Bb, go, ge)
     t1 = _time.time()
@@ -289,7 +298,7 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
         ta = _time.time()
         hvs = jnp.clip(bodies_a - s0r, 0, R)
         bh, bf = step(s0d, s1d, i0s, j0s, jnp.int32(s0r), ccodes, hvs,
-                      bh, bf)
+                      ws_a, bh, bf)
         if _TRACE:
             jax.block_until_ready(bh)
             np.asarray(bh[0, :1])

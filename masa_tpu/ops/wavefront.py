@@ -1111,7 +1111,7 @@ def batched_strip_pallas(cfg: WavefrontConfig, a_all, b_all, bus_h_all,
 @functools.partial(jax.jit, static_argnames=("cfg", "nj", "B"))
 def batched_strip_pallas_dyn(cfg: WavefrontConfig, a_all, b_all,
                              bus_h_all, bus_f_all, ih_all, ie_all,
-                             corners, frs, nj: int, B: int):
+                             corners, frs, ngs, nj: int, B: int):
     """The batched NW strip kernel with PER-ELEMENT strip heights.
 
     The static kernel bakes the flush position (which row of the strip
@@ -1126,10 +1126,15 @@ def batched_strip_pallas_dyn(cfg: WavefrontConfig, a_all, b_all,
     step).  Sub-granularity height tails chain through the XLA dyn
     engine outside.  Compile keys collapse to (cfg, nj, B).
 
-    a/ih/ie: (B, A, RS, 128); b/bus: (B, plen); corners, frs: (B,).
-    Elements with height 0 still compute (sentinel rows); callers mask
-    their outputs.  Returns physical buses (B, plen): element k's
-    logical column j sits at [k, j + lane_k], lane_k = frs[k]*128+127.
+    a/ih/ie: (B, A, RS, 128); b/bus: (B, plen); corners, frs, ngs: (B,).
+    ``ngs`` is the per-element EFFECTIVE chunk count: levels merge onto
+    one width bucket (few compile keys), but an element whose true
+    width ends at chunk ngs[k] skips the VPU work of the chunks past it
+    (exact — DP dependencies never flow leftward, and everything right
+    of an element's true width is masked downstream).  Elements with
+    height 0 still compute (sentinel rows); callers mask their outputs.
+    Returns physical buses (B, plen): element k's logical column j sits
+    at [k, j + lane_k], lane_k = frs[k]*128+127.
     """
     assert not cfg.track_best and not cfg.store_lastcol
     assert cfg.chunk >= cfg.lanes and cfg.chunk % 128 == 0
@@ -1143,10 +1148,22 @@ def batched_strip_pallas_dyn(cfg: WavefrontConfig, a_all, b_all,
     make_edge = _make_step(cfg, nj, cfg.rows, fast=False)
     n_state = 2 * a + 5
 
-    def kernel(cr_ref, fr_ref, a_ref, ih_ref, ie_ref, b_ref, bh_ref,
-               bf_ref, bho_ref, bfo_ref, state_ref):
+    def kernel(cr_ref, fr_ref, ng_ref, a_ref, ih_ref, ie_ref, b_ref,
+               bh_ref, bf_ref, bho_ref, bfo_ref, state_ref):
         bb = pl.program_id(0)
         g = pl.program_id(1)
+
+        # chunks at or past this element's effective width do no VPU
+        # work (their output blocks stay garbage; callers mask columns
+        # past the true width, and DP dependencies never flow leftward)
+        @pl.when(g < ng_ref[bb])
+        def _active():
+            _kernel_body(bb, g, cr_ref, fr_ref, a_ref, ih_ref, ie_ref,
+                         b_ref, bh_ref, bf_ref, bho_ref, bfo_ref,
+                         state_ref)
+
+    def _kernel_body(bb, g, cr_ref, fr_ref, a_ref, ih_ref, ie_ref,
+                     b_ref, bh_ref, bf_ref, bho_ref, bfo_ref, state_ref):
         a_lanes_v = [a_ref[0, k] for k in range(a)]
         init_h_v = [ih_ref[0, k] for k in range(a)]
         init_e_v = [ie_ref[0, k] for k in range(a)]
@@ -1243,7 +1260,7 @@ def batched_strip_pallas_dyn(cfg: WavefrontConfig, a_all, b_all,
                               lambda bb, g, *_: (bb, g, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, ng),
         in_specs=[vec_spec, vec_spec, vec_spec,
                   chunk_spec, chunk_spec, chunk_spec],
@@ -1260,6 +1277,7 @@ def batched_strip_pallas_dyn(cfg: WavefrontConfig, a_all, b_all,
         interpret=cfg.interpret,
     )(corners.astype(jnp.int32).reshape(B),
       frs.astype(jnp.int32).reshape(B),
+      jnp.clip(ngs.astype(jnp.int32).reshape(B), 0, ng),
       a_all, ih_all, ie_all,
       b_all.reshape(B, ng * C // 128, 128),
       bus_h_all.reshape(B, ng * C // 128, 128),

@@ -364,8 +364,8 @@ def test_batched_strip_pallas_dyn_mixed_heights():
     R = cfg.rows
     rng = np.random.default_rng(5)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    B, nj = 3, 256
-    heights = [R, gran, R]          # 512, 256, 512
+    B, nj = 3, 512                  # nj far wider than any element: the
+    heights = [R, gran, R]          # 512, 256, 512; per-element ngs skip
     plen = wf.padded_len(cfg, nj)
     a_all = np.empty((B, cfg.alpha, cfg.rs, 128), np.int32)
     ih_all = np.empty_like(a_all)
@@ -391,9 +391,13 @@ def test_batched_strip_pallas_dyn_mixed_heights():
         corners[k] = rh[0]
         frs[k] = ((h - 1) // cfg.alpha) // 128
         refs.append((s0[:h], s1, w, h))
+    ngs = np.asarray(
+        [(w + (h - 1) // cfg.alpha + cfg.chunk - 1) // cfg.chunk
+         for h, w in zip(heights, [200, 256, 130])], np.int32)
+    assert ngs.max() < wf._num_chunks(cfg, nj)  # skipping is real
     bh, bf = wf.batched_strip_pallas_dyn(
         cfg, a_all, b_all, bh_all, bf_all, ih_all, ie_all,
-        corners, frs, nj=nj, B=B)
+        corners, frs, ngs, nj=nj, B=B)
     bh = np.asarray(bh)
     bf = np.asarray(bf)
     for k, (s0, s1, w, h) in enumerate(refs):
