@@ -127,6 +127,10 @@ class TPUAligner(Aligner):
         if mgr.special_dev_sink is not None:
             on_row_dev = lambda r, dh, df: mgr.dispatch_row_dev(
                 p.i0 + r, dh, df)
+        on_row_lazy = None
+        if mgr.lazy_special_rows:
+            on_row_lazy = lambda r, pull: mgr.dispatch_row_lazy(
+                p.i0 + r, pull)
 
         def stop(out, rows_done, strip_rows, col_off):
             if cfg.track_best and "best_v" in out:
@@ -195,6 +199,7 @@ class TPUAligner(Aligner):
             dev_slices=dev_slices,
             on_special_row_dev=on_row_dev if iv else None,
             want_dev_last=dev_match,
+            on_special_row_lazy=on_row_lazy if iv else None,
         )
         self.stats.cells += res.cells
         self.stats.pruned_cells += res.pruned_cells

@@ -31,6 +31,43 @@ from masa_tpu.types import (
 )
 
 
+class LazyFullRow:
+    """A special row whose body is still a device snapshot (a RowPull),
+    with the host border element already attached.  full_rows()
+    materializes the (n+1,) arrays; packed() yields the disk-persistable
+    packed form plus the border scalars (core/sra.write_row_packed)."""
+
+    def __init__(self, pull, border_h: int, border_f: int):
+        self.pull = pull
+        self.border_h = int(border_h)
+        self.border_f = int(border_f)
+
+    @property
+    def count(self) -> int:
+        return self.pull.nj + 1
+
+    def start(self):
+        self.pull.start()
+        return self
+
+    def ready(self) -> bool:
+        return self.pull.ready()
+
+    def full_rows(self):
+        bh, bf = self.pull.rows()
+        n = len(bh)
+        h_full = np.empty(n + 1, np.int64)
+        f_full = np.empty(n + 1, np.int64)
+        h_full[0] = self.border_h
+        f_full[0] = self.border_f
+        h_full[1:] = bh
+        f_full[1:] = bf
+        return h_full, f_full
+
+    def packed(self):
+        return self.pull.packed()
+
+
 class AlignerManager:
     def __init__(self, aligner, params: ScoreParams = ScoreParams()):
         self.aligner = aligner
@@ -65,6 +102,8 @@ class AlignerManager:
         self.goal_base_dev = None
         self.special_dev_sink = None  # DevRowCache protocol (put_dev/
         #   attach_border): retains special-row bus snapshots on device
+        self.lazy_special_rows = False  # deliver rows as LazyFullRow
+        #   (no host transfer until the store asks) — stage 1 opt-in
         self.reverse_f0: int | None = None  # exact border gap at f[0] of
         #   the dispatched last row (reverse passes pin continuing gaps,
         #   stages.core._border_f_value semantics)
@@ -182,6 +221,26 @@ class AlignerManager:
         f_full[1:] = bus_f
         if self.special_dev_sink is not None:
             self.special_dev_sink.attach_border(row, ch, cf)
+        if self.special_rows is not None:
+            self.special_rows.put(row, h_full, f_full)
+        if self.goal_base_row is not None:
+            self._match_goal(row, h_full, f_full)
+
+    def dispatch_row_lazy(self, row: int, pull) -> None:
+        """Lazy special-row delivery (ops/strips.RowPull): the border
+        attaches immediately (host scalars), the O(n) row body stays on
+        device until the store decides it needs host bytes.  Stores
+        without put_lazy (and goal-matching passes) materialize at once
+        — behaviorally identical to dispatch_row."""
+        ch, cf = self._col_border(row)
+        if self.special_dev_sink is not None:
+            self.special_dev_sink.attach_border(row, ch, cf)
+        lazy = LazyFullRow(pull, ch, cf)
+        if self.goal_base_row is None and self.special_rows is not None \
+                and hasattr(self.special_rows, "put_lazy"):
+            self.special_rows.put_lazy(row, lazy)
+            return
+        h_full, f_full = lazy.full_rows()
         if self.special_rows is not None:
             self.special_rows.put(row, h_full, f_full)
         if self.goal_base_row is not None:

@@ -28,6 +28,7 @@ from masa_tpu.io.rowcodec import CODECS, decode_row, encode_row
 
 MAGIC = b"MSR2"
 MAGIC_V1 = b"MSR1"
+MAGIC_PACKED = b"MSRP"
 
 
 def _row_path(dirpath: str, r: int) -> str:
@@ -46,9 +47,49 @@ def write_row(dirpath: str, r: int, h: np.ndarray, f: np.ndarray,
     return len(raw)
 
 
+def write_row_packed(dirpath: str, r: int, lazy) -> int:
+    """Persist a manager.LazyFullRow in the DEVICE's 4-bit delta form
+    (two nibbles per byte + full-width escape lists): no host re-encode,
+    ~16x smaller than the int64 pair.  decode on read is a vectorized
+    cumsum (wf.decode_packed_row)."""
+    (uh, mih, mvh), (uf, mif, mvf) = lazy.packed()
+    count = lazy.count
+    raw = b"".join([
+        MAGIC_PACKED,
+        struct.pack("<qqqqqqqq", r, count, lazy.border_h, lazy.border_f,
+                    len(uh), len(mih), len(uf), len(mif)),
+        uh.tobytes(), mih.tobytes(), mvh.tobytes(),
+        uf.tobytes(), mif.tobytes(), mvf.tobytes(),
+    ])
+    tmp = _row_path(dirpath, r) + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(raw)
+    os.replace(tmp, _row_path(dirpath, r))
+    return len(raw)
+
+
 def read_row(dirpath: str, r: int) -> tuple[np.ndarray, np.ndarray]:
     with open(_row_path(dirpath, r), "rb") as fh:
         raw = fh.read()
+    if raw[:4] == MAGIC_PACKED:
+        from masa_tpu.ops.wavefront import decode_packed_row
+
+        (ridx, count, bh0, bf0, nuh, neh, nuf, nef) = struct.unpack_from(
+            "<qqqqqqqq", raw, 4)
+        nj = count - 1
+        off = 4 + 64
+        uh = np.frombuffer(raw, np.uint8, nuh, offset=off); off += nuh
+        mih = np.frombuffer(raw, np.int64, neh, offset=off); off += 8 * neh
+        mvh = np.frombuffer(raw, np.int64, neh, offset=off); off += 8 * neh
+        uf = np.frombuffer(raw, np.uint8, nuf, offset=off); off += nuf
+        mif = np.frombuffer(raw, np.int64, nef, offset=off); off += 8 * nef
+        mvf = np.frombuffer(raw, np.int64, nef, offset=off)
+        h = np.empty(count, np.int64)
+        f = np.empty(count, np.int64)
+        h[0], f[0] = bh0, bf0
+        h[1:] = decode_packed_row(uh, mih, mvh, nj)
+        f[1:] = decode_packed_row(uf, mif, mvf, nj)
+        return h, f
     if raw[:4] == MAGIC_V1:
         ridx, count = struct.unpack_from("<qq", raw, 4)
         data = np.frombuffer(raw, np.int32, count * 2, offset=20).reshape(
@@ -86,6 +127,9 @@ class SpecialRowsPartition:
         self._disk: set[int] = set()
         self._ram_bytes = 0
         self._disk_bytes = 0
+        # disk-destined lazy rows whose async device->host transfer is
+        # still in flight: [(r, LazyFullRow)], drained opportunistically
+        self._pending: list = []
         os.makedirs(dirpath, exist_ok=True)
         self._load_meta()
         self._save_meta()
@@ -142,13 +186,55 @@ class SpecialRowsPartition:
         # else: dropped — the flush ladder sized the interval so this
         # cannot happen unless limits were lowered mid-run.
 
+    def put_lazy(self, r: int, lazy) -> None:
+        """Lazy placement (manager.LazyFullRow): a RAM-destined row keeps
+        its device snapshot and never crosses to the host unless read (a
+        RAM row is not crash persistence anyway); a disk-destined row
+        starts its async packed transfer now and is written in the
+        device's packed form once the bytes land (drained on later puts
+        and at finalize) — stage 1 never blocks on the tunnel for it."""
+        nbytes = 8 * lazy.count + 20
+        ram_fits = self._ram_bytes + nbytes <= self.ram_limit
+        disk_fits = self._disk_bytes + nbytes <= self.disk_limit
+        ram_frac = ((self._ram_bytes + nbytes) / self.ram_limit
+                    if self.ram_limit else 2.0)
+        disk_frac = ((self._disk_bytes + nbytes) / self.disk_limit
+                     if self.disk_limit else 2.0)
+        if ram_fits and (ram_frac <= disk_frac or not disk_fits):
+            self._ram[r] = lazy
+            self._ram_bytes += nbytes
+        elif disk_fits:
+            lazy.start()
+            self._pending.append((r, lazy))
+            self._drain(block=False)
+
+    def _drain(self, block: bool) -> None:
+        while self._pending:
+            r, lazy = self._pending[0]
+            if not block and not lazy.ready():
+                break
+            self._pending.pop(0)
+            self._disk_bytes += write_row_packed(self.dir, r, lazy)
+            self._disk.add(r)
+
+    def finalize(self) -> None:
+        self._drain(block=True)
+
     def get(self, r: int) -> tuple[np.ndarray, np.ndarray]:
         if r in self._ram:
-            return self._ram[r]
+            v = self._ram[r]
+            if not isinstance(v, tuple):
+                v = v.full_rows()
+                self._ram[r] = v
+            return v
+        for rp, lazy in self._pending:
+            if rp == r:
+                return lazy.full_rows()
         return read_row(self.dir, r)
 
     def rows(self) -> list[int]:
-        return sorted(set(self._ram) | self._disk)
+        return sorted(set(self._ram) | self._disk
+                      | {r for r, _ in self._pending})
 
     def next_below(self, i: int, min_dist: int = 1) -> int | None:
         cand = [r for r in self.rows() if r <= i - min_dist]
@@ -158,8 +244,10 @@ class SpecialRowsPartition:
         """Drop rows above the found crosspoint
         (SpecialRowsArea::truncatePartition)."""
         for r in [r for r in self._ram if r > i]:
-            h, f = self._ram.pop(r)
-            self._ram_bytes -= 8 * len(h) + 20
+            v = self._ram.pop(r)
+            count = v.count if not isinstance(v, tuple) else len(v[0])
+            self._ram_bytes -= 8 * count + 20
+        self._pending = [(r, lz) for r, lz in self._pending if r <= i]
         for r in [r for r in self._disk if r > i]:
             try:
                 os.remove(_row_path(self.dir, r))

@@ -433,7 +433,10 @@ def _match_engine(njq: int, go: int):
 def _run_match(fh, ff, rh, rf, fwd0, rev0, ws, goals, njq: int, go: int
                ) -> np.ndarray:
     """The vmapped match engine, tiled to _B_TILE (one XLA trace per
-    njq instead of one per level batch size).  Returns (4, B) host."""
+    njq instead of one per level batch size).  All tiles dispatch
+    asynchronously; ONE host pull at the end (a per-tile pull costs a
+    full tunnel round trip — ~1.5 s across an 8-tile level for work
+    that computes in microseconds).  Returns (4, B) host."""
     B = fh.shape[0]
     eng = _match_engine(njq, go)
     outs = []
@@ -446,17 +449,18 @@ def _run_match(fh, ff, rh, rf, fwd0, rev0, ws, goals, njq: int, go: int
                 [a[off:end], jnp.repeat(a[end - 1 : end], pad, axis=0)])
             npad = lambda a: np.concatenate(
                 [a[off:end], np.repeat(a[end - 1 : end], pad, axis=0)])
-            out = np.asarray(eng(
+            out = jnp.stack(eng(
                 sl(fh), sl(ff), sl(rh), sl(rf),
                 jnp.asarray(npad(fwd0)), jnp.asarray(npad(rev0)),
                 jnp.asarray(npad(ws)), jnp.asarray(npad(goals))))[:, :n]
         else:
-            out = np.asarray(eng(
+            out = jnp.stack(eng(
                 fh[off:end], ff[off:end], rh[off:end], rf[off:end],
                 jnp.asarray(fwd0[off:end]), jnp.asarray(rev0[off:end]),
                 jnp.asarray(ws[off:end]), jnp.asarray(goals[off:end])))
         outs.append(out)
-    return np.concatenate(outs, axis=1)
+    return np.asarray(outs[0] if len(outs) == 1
+                      else jnp.concatenate(outs, axis=1))
 
 
 # ---------------------------------------------------------------------------

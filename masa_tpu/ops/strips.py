@@ -41,6 +41,51 @@ def quantize_cols(nj: int, quantum: int = 128) -> int:
     return -(-nj // q) * q
 
 
+class RowPull:
+    """Deferred host materialization of one special row.
+
+    In lazy mode stage 1 emits THIS instead of pulling the row through
+    the tunnel: the buses stay as device snapshots (shared with the
+    DevRowCache that stage 2 matches against) and the host transfer
+    happens only if/when a consumer actually needs host bytes — the SRA
+    for a disk checkpoint (start() overlaps the transfer with later
+    strips), or a stage-2 host-fallback read (rows()).  RAM-destined
+    rows never cross the tunnel at all."""
+
+    def __init__(self, dev_h, dev_f, nj: int):
+        self.dev_h = dev_h
+        self.dev_f = dev_f
+        self.nj = nj
+        self._hh = self._hf = None
+
+    def start(self) -> "RowPull":
+        """Begin the async packed transfer (idempotent)."""
+        if self._hh is None:
+            self._hh = wf.pull_row_delta_start(self.dev_h, self.nj)
+            self._hf = wf.pull_row_delta_start(self.dev_f, self.nj)
+        return self
+
+    def ready(self) -> bool:
+        if self._hh is None:
+            return False
+        try:
+            return self._hh[0].is_ready() and self._hf[0].is_ready()
+        except AttributeError:
+            return True
+
+    def rows(self) -> tuple[np.ndarray, np.ndarray]:
+        """(h, f) int64 host arrays of length nj (no border element)."""
+        self.start()
+        return (wf.pull_row_delta_finish(self._hh),
+                wf.pull_row_delta_finish(self._hf))
+
+    def packed(self):
+        """((u, esc_idx, esc_val) for h, same for f): the disk-
+        persistable packed form (wf.decode_packed_row reconstructs)."""
+        self.start()
+        return wf.packed_row_host(self._hh), wf.packed_row_host(self._hf)
+
+
 @dataclasses.dataclass
 class PartitionResult:
     last_h: np.ndarray          # (n+1,) DP last row H (index 0 = border)
@@ -90,6 +135,7 @@ def run_partition(
     dev_slices: tuple | None = None,
     on_special_row_dev: Callable | None = None,
     want_dev_last: bool = False,
+    on_special_row_lazy: Callable | None = None,
 ) -> PartitionResult:
     """Align one partition.  first_row=(H,F) and first_col=(H,E) are DP
     border vectors of length n+1 / m+1 when the init type is CUSTOM.
@@ -275,6 +321,15 @@ def run_partition(
                            (2 << 30) // max(blen * 8, 1)))
 
     def emit_special(r, bus_h, bus_f):
+        if on_special_row_lazy is not None:
+            # lazy mode: no host transfer here — snapshots go to the
+            # device cache and a RowPull lets the store pull on demand
+            snap_h = wf._device_copy(bus_h)
+            snap_f = wf._device_copy(bus_f)
+            if on_special_row_dev is not None:
+                on_special_row_dev(r, snap_h, snap_f)
+            on_special_row_lazy(r, RowPull(snap_h, snap_f, nj_out))
+            return
         if packed_pull:
             drain_ready()
             while len(deferred) >= defer_cap:

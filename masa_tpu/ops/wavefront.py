@@ -925,6 +925,53 @@ def pull_row_delta_finish(handle) -> np.ndarray:
     return _decode_delta(packed, snap, nj)
 
 
+def packed_row_host(handle):
+    """Self-contained packed form of a pulled row: (packed_u8, esc_idx,
+    esc_val).  The escape VALUES are materialized from the device
+    snapshot now, so the result reconstructs the row with no device at
+    all (decode_packed_row) — the persistable twin of
+    pull_row_delta_finish (the SRA writes this form to disk ~16x
+    smaller than the int64 pair, with no host re-encode)."""
+    packed, snap, nj = handle
+    u = np.asarray(packed).view(np.uint8)
+    lo = (u & 0xF).astype(np.int64)
+    hi = (u >> 4).astype(np.int64)
+    lo[lo > 7] -= 16
+    hi[hi > 7] -= 16
+    dh = np.empty(2 * len(u), np.int64)
+    dh[0::2] = lo
+    dh[1::2] = hi
+    mark = np.nonzero(dh[:nj] == -8)[0]
+    if len(mark):
+        exact = np.asarray(
+            gather_device(snap, jnp.asarray(mark, jnp.int32))
+        ).astype(np.int64)
+    else:
+        exact = np.empty(0, np.int64)
+    return u, mark.astype(np.int64), exact
+
+
+def decode_packed_row(u: np.ndarray, mark: np.ndarray, exact: np.ndarray,
+                      nj: int) -> np.ndarray:
+    """Host-only inverse of packed_row_host (no device access)."""
+    u = np.asarray(u, np.uint8)
+    lo = (u & 0xF).astype(np.int64)
+    hi = (u >> 4).astype(np.int64)
+    lo[lo > 7] -= 16
+    hi[hi > 7] -= 16
+    dh = np.empty(2 * len(u), np.int64)
+    dh[0::2] = lo
+    dh[1::2] = hi
+    b = dh[:nj]
+    out = np.cumsum(b)
+    if len(mark):
+        corr = np.asarray(exact, np.int64) - out[mark]
+        add = np.zeros(nj, np.int64)
+        add[mark] = np.diff(np.concatenate([[0], corr]))
+        out += np.cumsum(add)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("W1", "go"))
 def goal_match_device(cut_h, cut_f, rev_h, rev_f, cj, goal, rev0h, rev0f,
                       W1: int, go: int):

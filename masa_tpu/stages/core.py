@@ -54,8 +54,21 @@ class SpecialRowStore:
     def put(self, r: int, h: np.ndarray, f: np.ndarray) -> None:
         self._rows[r] = (np.asarray(h), np.asarray(f))
 
+    def put_lazy(self, r: int, lazy) -> None:
+        """A manager.LazyFullRow: the body stays on device until get()
+        (a RAM store is not crash persistence, so nothing is lost by
+        never materializing unread rows)."""
+        self._rows[r] = lazy
+
     def get(self, r: int) -> tuple[np.ndarray, np.ndarray]:
-        return self._rows[r]
+        v = self._rows[r]
+        if not isinstance(v, tuple):
+            v = v.full_rows()
+            self._rows[r] = v
+        return v
+
+    def finalize(self) -> None:
+        pass
 
     def rows(self) -> list[int]:
         return sorted(self._rows)
@@ -209,6 +222,7 @@ def forward_pass(
     want_lastcol: bool = False,
     nw_best: bool = False,
     dev_cache: "DevRowCache | None" = None,
+    lazy_rows: bool = False,
 ) -> FwdResult:
     """Forward DP over a partition; persists special rows (with synthesized
     border gap values) into `store`.
@@ -248,8 +262,14 @@ def forward_pass(
     mgr.last_column_wanted = want_lastcol
     mgr.blocks_sink = blocks_sink
     mgr.special_dev_sink = dev_cache
+    # lazy delivery needs the device snapshots alive: only meaningful
+    # with a device sink and a kernel backend
+    mgr.lazy_special_rows = (lazy_rows and dev_cache is not None
+                             and backend != "numpy")
     aligner.set_sequences(seq0, seq1)
     mgr.align_partition(Partition(0, 0, m, n))
+    if mgr.lazy_special_rows and hasattr(store, "finalize"):
+        store.finalize()
 
     if mgr.last_row is not None:
         _, lh, lf = mgr.last_row

@@ -79,6 +79,18 @@ class _OffsetStore:
         if self.job:
             self.job.status.update(last_special_row=self.offset + r)
 
+    def put_lazy(self, r, lazy):
+        if hasattr(self.part, "put_lazy"):
+            self.part.put_lazy(self.offset + r, lazy)
+        else:
+            self.part.put(self.offset + r, *lazy.full_rows())
+        if self.job:
+            self.job.status.update(last_special_row=self.offset + r)
+
+    def finalize(self):
+        if hasattr(self.part, "finalize"):
+            self.part.finalize()
+
     def get(self, r):
         return self.part.get(r)
 
@@ -200,6 +212,15 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     dev_cache = core.DevRowCache()
     job.runtime_dev_rows = _OffsetDevCache(dev_cache, r0)
 
+    # lazy special rows: RAM-destined rows never cross the tunnel (the
+    # device cache is what stage 2 matches against); disk checkpoints
+    # transfer asynchronously in the device's packed form.  Only safe
+    # when every snapshot fits the device budget — the lazy entries pin
+    # the same buffers the DevRowCache holds.
+    n_specials = (m - r0) // max(ivs[0], 1)
+    snap_bytes = n_specials * 2 * (n + 65536) * 4
+    lazy_rows = snap_bytes <= dev_cache.budget
+
     try:
         res = core.forward_pass(
             seq0[r0:], seq1, job.cfg.params, rec, row_init, col_init_eff,
@@ -217,7 +238,9 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
             want_lastcol=want_lastcol,
             nw_best=(end == AlignmentStart.ANYWHERE
                      and rec == Recurrence.NEEDLEMAN_WUNSCH),
+            lazy_rows=lazy_rows,
         )
+        store.finalize()
     finally:
         ticker.stop()
     timer.event_record("compute")

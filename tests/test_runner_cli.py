@@ -267,3 +267,66 @@ def test_cli_self_test():
     from masa_tpu.cli import main
 
     assert main(["a.fa", "b.fa", "--test"]) == 0
+
+
+class TestLazySpecialRows:
+    """Stage 1's lazy special rows (no tunnel pull for RAM-destined rows;
+    disk checkpoints in the device's packed form) must be byte-equivalent
+    to the eager path and crash-resumable."""
+
+    def test_forward_pass_lazy_equivalence(self, dna, monkeypatch):
+        from masa_tpu.ops.wavefront import WavefrontConfig
+        from masa_tpu.stages import core
+        from masa_tpu.types import InitType, Recurrence
+
+        monkeypatch.setenv("MASA_TPU_FORCE_PACKED_PULL", "1")
+        s0 = dna(4096, seed=31)
+        s1 = dna(2048, seed=32)
+        cfg = WavefrontConfig(alpha=4, rs=1, chunk=512, track_best=True)
+
+        def run(lazy):
+            store = core.SpecialRowStore()
+            res = core.forward_pass(
+                s0, s1, P, Recurrence.SMITH_WATERMAN,
+                InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+                special_every=512, store=store, backend="kernel",
+                cfg=cfg, dev_cache=core.DevRowCache(), lazy_rows=lazy)
+            return res, store
+
+        r0, st0 = run(False)
+        r1, st1 = run(True)
+        assert (r0.best, r0.best_i, r0.best_j) == (r1.best, r1.best_i,
+                                                   r1.best_j)
+        assert st0.rows() == st1.rows() and st0.rows()
+        for r in st0.rows():
+            h0, f0 = st0.get(r)
+            h1, f1 = st1.get(r)
+            np.testing.assert_array_equal(h0, h1)
+            np.testing.assert_array_equal(f0, f1)
+
+    def test_job_pipeline_disk_packed_rows(self, dna, homolog, jobdir,
+                                           monkeypatch):
+        """ram_limit=0 forces every lazy special row through the packed
+        disk format; the full pipeline and a resumed stage 2 must agree
+        with the oracle."""
+        monkeypatch.setenv("MASA_TPU_FORCE_PACKED_PULL", "1")
+        s0 = dna(3000, seed=41)
+        s1 = homolog(s0, seed=42)
+        cfg = JobConfig(work_dir=jobdir, ram_limit=0,
+                        disk_limit=1 << 30, stage4_max_partition=0)
+        job = Job(cfg)
+        aln = runner.align_job(job, s0, s1, log=lambda *a: None)
+        ref = oracle.dp_rows(s0, s1, P)
+        assert aln.raw_score == ref.best
+        # the SRA directory actually holds packed-format rows
+        import glob
+        import os
+        rows = glob.glob(os.path.join(jobdir, "special_rows", "*", "*",
+                                      "row.*.bin"))
+        assert rows
+        with open(rows[0], "rb") as fh:
+            assert fh.read(4) == b"MSRP"
+        # crash-resume: a fresh job re-reads packed rows for stage 2
+        job2 = Job(cfg)
+        cps = runner.stage2(job2, s0, s1, log=lambda *a: None)
+        assert cps[-1].score == ref.best

@@ -111,3 +111,107 @@ class TestAreaCache:
         p = area2.open_partition(10, 10)
         assert InitType(p.row_init) == InitType.WITH_GAPS
         assert InitType(p.col_init) == InitType.WITH_ZEROES
+
+
+class _FakePull:
+    """RowPull stand-in: host arrays masquerading as device snapshots
+    (RowPull itself only needs .nj and jnp-compatible buffers)."""
+
+    def __init__(self, h, f):
+        import jax.numpy as jnp
+
+        self.nj = len(h)
+        self._h = jnp.asarray(np.asarray(h, np.int32))
+        self._f = jnp.asarray(np.asarray(f, np.int32))
+        self.started = False
+
+    def start(self):
+        self.started = True
+        return self
+
+    def ready(self):
+        return self.started
+
+    def rows(self):
+        from masa_tpu.ops import wavefront as wf
+
+        self.start()
+        return (wf.pull_row_delta(self._h, self.nj),
+                wf.pull_row_delta(self._f, self.nj))
+
+    def packed(self):
+        from masa_tpu.ops import wavefront as wf
+
+        self.start()
+        return (wf.packed_row_host(
+                    (wf.delta_pack_device(self._h, self.nj), self._h,
+                     self.nj)),
+                wf.packed_row_host(
+                    (wf.delta_pack_device(self._f, self.nj), self._f,
+                     self.nj)))
+
+
+def _lazy_row(n, base=0, spike=None):
+    from masa_tpu.core.manager import LazyFullRow
+
+    h, f = rows_of(n, 0, base)
+    # DP-like small deltas with optional large escape jumps
+    h = (h % 5).cumsum()
+    f = -((f % 3)).cumsum() - 7
+    if spike is not None:
+        h[spike] += 100000       # forces 4-bit escapes
+        f[spike] -= 99999
+    return LazyFullRow(_FakePull(h, f), border_h=int(-3), border_f=-777), h, f
+
+
+class TestLazyRows:
+    def test_packed_roundtrip_with_escapes(self, tmp_path):
+        from masa_tpu.core.sra import read_row, write_row_packed
+
+        lazy, h, f = _lazy_row(1001, base=5, spike=[3, 500, 1000])
+        write_row_packed(str(tmp_path), 7, lazy)
+        rh, rf = read_row(str(tmp_path), 7)
+        assert rh[0] == -3 and rf[0] == -777
+        np.testing.assert_array_equal(rh[1:], h)
+        np.testing.assert_array_equal(rf[1:], f)
+
+    def test_ram_lazy_never_transfers_until_read(self, tmp_path):
+        p = SpecialRowsPartition(str(tmp_path / "p"), 0, 0, 10, 4096,
+                                 ram_limit=1 << 30, disk_limit=0)
+        lazy, h, f = _lazy_row(512)
+        p.put_lazy(3, lazy)
+        assert not lazy.pull.started          # no tunnel crossing
+        assert p.rows() == [3]
+        rh, rf = p.get(3)
+        assert lazy.pull.started
+        np.testing.assert_array_equal(rh[1:], h)
+        rh2, _ = p.get(3)                     # materialized + cached
+        np.testing.assert_array_equal(rh2, rh)
+
+    def test_disk_lazy_persists_packed_and_resumes(self, tmp_path):
+        d = str(tmp_path / "p")
+        p = SpecialRowsPartition(d, 0, 0, 10, 4096,
+                                 ram_limit=0, disk_limit=1 << 30)
+        lazy, h, f = _lazy_row(512, spike=[100])
+        p.put_lazy(4, lazy)
+        assert lazy.pull.started              # async transfer began
+        p.finalize()
+        assert p.last_row() == 4
+        # crash-resume view: a fresh instance reads the packed file
+        p2 = SpecialRowsPartition(d, 0, 0, 10, 4096,
+                                  ram_limit=0, disk_limit=1 << 30)
+        rh, rf = p2.get(4)
+        assert rh[0] == -3 and rf[0] == -777
+        np.testing.assert_array_equal(rh[1:], h)
+        np.testing.assert_array_equal(rf[1:], f)
+
+    def test_truncate_drops_lazy_rows(self, tmp_path):
+        p = SpecialRowsPartition(str(tmp_path / "p"), 0, 0, 10, 4096,
+                                 ram_limit=1 << 30, disk_limit=0)
+        for r in (2, 4, 6):
+            lazy, _, _ = _lazy_row(256, base=r)
+            p.put_lazy(r, lazy)
+        before = p._ram_bytes
+        p.truncate_above(4)
+        assert p.rows() == [2, 4]
+        assert p._ram_bytes == before * 2 // 3

@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Round-3 consolidated on-chip batch: waits (hours if needed) for a
-healthy window, then in ONE window runs:
+healthy window, then in ONE window runs, in order of record value:
 
-  1. full 1M six-stage pipeline x2 with per-stage breakdown and the new
-     device-resident stage-2 matching + stage-4 B-tiling (exactness
-     asserted: score 796634)
-  2. stage-4 sub-phase trace (MASA_TPU_STAGE4_TRACE)
-  3. tools/roofline.py incl. the int16 (m16) probe
-  4. bench.py (the driver's metric)
+  1. bench.py (the driver's metric: stage-1 GCUPS + warm full 1M
+     six-stage wall clock) — UNTRACED (the stage-4 trace forces
+     per-step syncs and inflates the measured time)
+  2. tools/big_run.py 5M (reference score-only target: 558 s)
+  3. full 1M pipeline x1 with stage-4 trace (diagnostic breakdown)
+  4. tools/roofline.py
+
+Every phase is independently guarded: a timeout or crash in one phase
+does not stop the later ones.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/round3_batch.py
 """
@@ -20,9 +23,26 @@ import time
 import shutil
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("MASA_TPU_STAGE4_TRACE", "1")
+os.environ.pop("MASA_TPU_STAGE4_TRACE", None)
 
 import numpy as np
+
+
+def _sub(label, argv, timeout, env_extra=None):
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    print(f"--- {label} ---", flush=True)
+    try:
+        r = subprocess.run(argv, capture_output=True, text=True,
+                           timeout=timeout, env=env)
+        print(r.stdout.strip(), flush=True)
+        if r.returncode:
+            print(r.stderr[-3000:], flush=True)
+    except subprocess.TimeoutExpired as e:
+        print(f"{label} TIMED OUT after {timeout}s", flush=True)
+        if e.stdout:
+            print(str(e.stdout)[-2000:], flush=True)
 
 
 def main():
@@ -63,39 +83,48 @@ def main():
         print("chip never recovered; aborting", flush=True)
         return 1
 
-    # ---- 1+2: full pipeline with breakdown + stage-4 trace -------------
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.join(here, "..")
+
+    # ---- 1: bench (the driver metric), untraced ------------------------
+    _sub("bench.py", [sys.executable, os.path.join(root, "bench.py")],
+         timeout=1800)
+
+    # ---- 2: 5M full run (vs the reference's 558 s score-only) ----------
+    _sub("big_run 5M",
+         [sys.executable, os.path.join(here, "big_run.py"), "5M"],
+         timeout=2400)
+
+    # ---- 3: diagnostic traced 1M pipeline ------------------------------
     from masa_tpu.core.job import Job, JobConfig
     from masa_tpu.stages import runner
 
-    for run in (1, 2):
-        wd = tempfile.mkdtemp(prefix="masa_r3b_")
-        try:
-            job = Job(JobConfig(work_dir=wd))
-            t0 = time.time()
+    os.environ["MASA_TPU_STAGE4_TRACE"] = "1"
+    import masa_tpu.ops.batched_mm as bmm
+    bmm._TRACE = True
+    wd = tempfile.mkdtemp(prefix="masa_r3b_")
+    try:
+        job = Job(JobConfig(work_dir=wd))
+        t0 = time.time()
 
-            def log(*a, **k):
-                msg = " ".join(str(x) for x in a)
-                if "flushed row" in msg:
-                    return
-                print(f"[{time.time()-t0:8.2f}s]", msg, flush=True)
+        def log(*a, **k):
+            msg = " ".join(str(x) for x in a)
+            if "flushed row" in msg:
+                return
+            print(f"[{time.time()-t0:8.2f}s]", msg, flush=True)
 
-            aln = runner.align_job(job, s0, h1, log=log)
-            print(f"RUN{run} TOTAL {time.time()-t0:.2f}s "
-                  f"score={aln.raw_score}", flush=True)
-            assert aln.raw_score == 796634, aln.raw_score
-        finally:
-            shutil.rmtree(wd, ignore_errors=True)
+        aln = runner.align_job(job, s0, h1, log=log)
+        print(f"TRACED TOTAL {time.time()-t0:.2f}s "
+              f"score={aln.raw_score}", flush=True)
+        assert aln.raw_score == 796634, aln.raw_score
+    except Exception as e:  # noqa: BLE001 — diagnostics must not kill 4
+        print(f"traced pipeline failed: {e!r}", flush=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
-    # ---- 3+4: roofline + bench ------------------------------------------
-    here = os.path.dirname(os.path.abspath(__file__))
-    for script in (os.path.join(here, "roofline.py"),
-                   os.path.join(here, "..", "bench.py")):
-        r = subprocess.run([sys.executable, script], capture_output=True,
-                           text=True, timeout=3000, env=dict(os.environ))
-        print(f"--- {os.path.basename(script)} ---", flush=True)
-        print(r.stdout.strip(), flush=True)
-        if r.returncode:
-            print(r.stderr[-3000:], flush=True)
+    # ---- 4: roofline ----------------------------------------------------
+    _sub("roofline.py", [sys.executable, os.path.join(here, "roofline.py")],
+         timeout=1800, env_extra={"MASA_TPU_STAGE4_TRACE": ""})
     return 0
 
 
