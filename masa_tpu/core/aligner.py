@@ -86,6 +86,14 @@ class Aligner(abc.ABC):
         self.stats = AlignerStats()
 
 
+def dev_pads(n1: int) -> tuple[int, int]:
+    """The (pad0, pad1) sentinel paddings TPUAligner uses for its
+    device-resident sequence views — shared with the reverse-march
+    seeding so flipped views land on the exact cache keys the aligner
+    will look up."""
+    return 131072 + 8, n1 // 8 + 32768 + 512
+
+
 class TPUAligner(Aligner):
     """The TPU wavefront extension (strip kernel; scan twin on CPU)."""
 
@@ -164,8 +172,7 @@ class TPUAligner(Aligner):
             import jax as _jax
 
             if _jax.default_backend() != "cpu":
-                pad0 = 131072 + 8
-                pad1 = len(self._seq1) // 8 + 32768 + 512
+                pad0, pad1 = dev_pads(len(self._seq1))
                 cached = (
                     wf.dev_seq_peek(self._seq0, wf.A_SENTINEL, pad0)
                     is not None

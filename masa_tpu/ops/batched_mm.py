@@ -96,21 +96,18 @@ class _Half:
 
 class _DevSeqs:
     """The four device-resident sequence views, sentinel-padded so any
-    (offset, static-size) slice is in bounds."""
+    (offset, static-size) slice is in bounds.  Views come from the
+    shared wf.dev_seq cache: the forward arrays are usually already on
+    device from stage 1 (pad-flexible hit) and the reversed views are
+    built by on-device flips — warm stage 4 uploads nothing."""
 
     def __init__(self, seq0: np.ndarray, seq1: np.ndarray,
                  pad0: int, pad1: int):
         self.m, self.n = len(seq0), len(seq1)
-
-        def up(x, sentinel, pad):
-            arr = np.full(len(x) + pad, sentinel, np.int32)
-            arr[: len(x)] = np.asarray(x, np.int32)
-            return jnp.asarray(arr)
-
-        self.s0f = up(seq0, wf.A_SENTINEL, pad0)
-        self.s0r = up(seq0[::-1], wf.A_SENTINEL, pad0)
-        self.s1f = up(seq1, wf.B_SENTINEL, pad1)
-        self.s1r = up(seq1[::-1], wf.B_SENTINEL, pad1)
+        self.s0f = wf.dev_seq(seq0, wf.A_SENTINEL, pad0)
+        self.s0r = wf.dev_seq(seq0, wf.A_SENTINEL, pad0, reverse=True)
+        self.s1f = wf.dev_seq(seq1, wf.B_SENTINEL, pad1)
+        self.s1r = wf.dev_seq(seq1, wf.B_SENTINEL, pad1, reverse=True)
 
     def views(self, rev: bool):
         return (self.s0r, self.s1r) if rev else (self.s0f, self.s1f)

@@ -734,17 +734,55 @@ def _dev_seq_key(arr: np.ndarray, sentinel: int, reverse: bool, pad: int):
 
 def dev_seq_peek(arr: np.ndarray, sentinel: int, pad: int,
                  reverse: bool = False):
-    """The cached device copy, or None — without uploading."""
+    """The cached device copy, or None — without uploading.  A larger
+    pad satisfies, and a cached opposite-direction twin counts as a hit
+    too (dev_seq builds the flip on device, no transfer)."""
     if _DEV_SEQ_CACHE is None:
         return None
-    return _DEV_SEQ_CACHE.get(_dev_seq_key(arr, sentinel, reverse, pad))
+    a = np.asarray(arr)
+    hit = _dev_seq_find(a, sentinel, reverse, pad)[1]
+    if hit is not None:
+        return hit
+    fwd = _dev_seq_find(a, sentinel, not reverse, 0)[1]
+    return fwd if fwd is not None and len(fwd) >= len(a) else None
+
+
+@functools.partial(jax.jit, static_argnames=("n", "total", "sentinel",
+                                             "flip"))
+def _repad_device(fwd, n: int, total: int, sentinel: int, flip: bool):
+    body = fwd[:n]
+    if flip:
+        body = jnp.flip(body)
+    return jnp.concatenate(
+        [body, jnp.full(total - n, jnp.int32(sentinel))])
+
+
+def _dev_seq_find(a: np.ndarray, sentinel: int, reverse: bool,
+                  min_pad: int):
+    """A cached entry for this array/direction with pad >= min_pad
+    (callers only need length >= offset + slice; a larger pad serves).
+    Returns (key, dev) or (None, None)."""
+    if _DEV_SEQ_CACHE is None:
+        return None, None
+    probe = _dev_seq_key(a, sentinel, reverse, 0)
+    for key, dev in _DEV_SEQ_CACHE.items():
+        if (key[0], key[1], key[2], key[3], key[5]) == (
+                probe[0], probe[1], probe[2], probe[3], probe[5]) \
+                and key[4] >= min_pad:
+            return key, dev
+    return None, None
 
 
 def dev_seq(arr: np.ndarray, sentinel: int, pad: int,
             reverse: bool = False):
     """Upload (once) a sentinel-padded int32 copy of `arr` (optionally
     reversed) and cache it.  Callers slice it with lax.dynamic_slice at
-    per-partition offsets instead of shipping packed strips per call."""
+    per-partition offsets instead of shipping packed strips per call.
+
+    Transfer avoidance: an existing entry with a LARGER pad serves
+    directly, and a reversed view builds ON DEVICE by flipping the
+    cached forward copy (uploading a multi-MB reversed twin over the
+    tunnel costs seconds; the flip is one fused device op)."""
     global _DEV_SEQ_CACHE
     from collections import OrderedDict
 
@@ -753,19 +791,45 @@ def dev_seq(arr: np.ndarray, sentinel: int, pad: int,
     a = np.asarray(arr)
     n = len(a)
     key = _dev_seq_key(a, sentinel, reverse, pad)
-    hit = _DEV_SEQ_CACHE.get(key)
+    hitk, hit = _dev_seq_find(a, sentinel, reverse, pad)
     if hit is not None:
-        _DEV_SEQ_CACHE.move_to_end(key)
+        _DEV_SEQ_CACHE.move_to_end(hitk)
         return hit
-    buf = np.full(n + pad, sentinel, np.int32)
-    buf[:n] = a[::-1] if reverse else a
-    dev = jnp.asarray(buf)
+    _, fwd = _dev_seq_find(a, sentinel, not reverse, 0)
+    if fwd is not None and len(fwd) >= n:
+        dev = _repad_device(fwd, n, n + pad, sentinel, True)
+    else:
+        buf = np.full(n + pad, sentinel, np.int32)
+        buf[:n] = a[::-1] if reverse else a
+        dev = jnp.asarray(buf)
     _DEV_SEQ_CACHE[key] = dev
     # bounded by entries AND bytes (chromosome-scale views are ~4B/char)
-    while len(_DEV_SEQ_CACHE) > 6 or sum(
+    while len(_DEV_SEQ_CACHE) > 10 or sum(
             4 * (k[1] + k[4]) for k in _DEV_SEQ_CACHE) > (2 << 30):
         _DEV_SEQ_CACHE.popitem(last=False)
     return dev
+
+
+def dev_seq_seed_reversed(fwd_host: np.ndarray, rev_host: np.ndarray,
+                          sentinel: int, pad: int) -> None:
+    """Seed the cache entry for `rev_host` (a pre-reversed host copy of
+    `fwd_host`) by flipping the cached forward device array on device —
+    so a consumer that passes the reversed HOST array (stage 2's
+    reverse march) hits the cache instead of re-uploading multi-MB."""
+    global _DEV_SEQ_CACHE
+    from collections import OrderedDict
+
+    if _DEV_SEQ_CACHE is None:
+        _DEV_SEQ_CACHE = OrderedDict()
+    rev = np.asarray(rev_host)
+    n = len(rev)
+    if _dev_seq_find(rev, sentinel, False, pad)[1] is not None:
+        return
+    _, fwd = _dev_seq_find(np.asarray(fwd_host), sentinel, False, 0)
+    if fwd is None or len(fwd) < n:
+        return
+    key = _dev_seq_key(rev, sentinel, False, pad)
+    _DEV_SEQ_CACHE[key] = _repad_device(fwd, n, n + pad, sentinel, True)
 
 
 def _sliced_prep(cfg, seq0x, seq1x, i0_abs, j0_abs, r_local, col_code,

@@ -598,6 +598,10 @@ def reverse_march(
     row_init/col_init describe the *matrix borders* (virtual row 0 / the
     border column), used for the final row-0 matching and origin fixups.
     """
+    import os as _os
+    import time as _time
+
+    _trace = bool(_os.environ.get("MASA_TPU_STAGE2_TRACE"))
     n = len(seq1)
     sw_anywhere = alignment_start == AlignmentStart.ANYWHERE
     cps: list[Crosspoint] = [endpoint]
@@ -606,6 +610,20 @@ def reverse_march(
     # offset partition of these, so device-resident uploads happen once
     rev_seqs = (np.ascontiguousarray(seq0[::-1]),
                 np.ascontiguousarray(seq1[::-1]))
+    if backend != "numpy":
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            # build the aligner's device views of the reversed arrays by
+            # FLIPPING the stage-1 forward views on device (re-uploading
+            # the multi-MB reversed twins over the tunnel costs seconds)
+            from masa_tpu.core.aligner import dev_pads
+
+            pad0, pad1 = dev_pads(len(seq1))
+            wf.dev_seq_seed_reversed(seq0, rev_seqs[0], wf.A_SENTINEL,
+                                     pad0)
+            wf.dev_seq_seed_reversed(seq1, rev_seqs[1], wf.B_SENTINEL,
+                                     pad1)
 
     row0_h, _ = (
         border_cells(n + 1, row_init, params)
@@ -643,7 +661,10 @@ def reverse_march(
 
         width0 = initial_window(cp, r, backend)
         j_low = cp.j - width0
+        _t_hop = _time.time()
+        _tries = 0
         while True:
+            _tries += 1
             at_edge = j_low <= 0
             rm = reverse_pass_and_match(
                 seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
@@ -670,6 +691,11 @@ def reverse_march(
                     f"Backtrace lost: no match at special row {r}"
                 )
             j_low = cp.j - 2 * (cp.j - j_low)
+        if _trace:
+            print(f"    [hop] cp=({cp.i},{cp.j}) r={r} hb={cp.i - r} "
+                  f"w0={width0} tries={_tries} "
+                  f"dev={'y' if dev_cut is not None else 'n'} "
+                  f"t={_time.time()-_t_hop:.2f}", flush=True)
         cp = rm.crosspoint
         cps.append(cp)
         if on_crosspoint:

@@ -100,6 +100,7 @@ def main():
     from masa_tpu.stages import runner
 
     os.environ["MASA_TPU_STAGE4_TRACE"] = "1"
+    os.environ["MASA_TPU_STAGE2_TRACE"] = "1"
     import masa_tpu.ops.batched_mm as bmm
     bmm._TRACE = True
     wd = tempfile.mkdtemp(prefix="masa_r3b_")
