@@ -150,3 +150,54 @@ def reduce_partitions(
     for c0, c1 in stack:
         emit(c0, c1)
     return out
+
+
+def stage4_reduce(
+    seq0: np.ndarray,
+    seq1: np.ndarray,
+    cps: list[Crosspoint],
+    params: ScoreParams,
+    max_partition: int = 16,
+    strategy: SplitStrategy = SplitStrategy.OPTIMIZED,
+    log=None,
+    stage5_max_cells: int | None = None,
+) -> list[Crosspoint]:
+    """Engine-choosing stage-4 reduction (the sw_stage4.cpp:926-945 loop,
+    shared by the monolithic runner, the sharded multi-chip path, and the
+    fork workers):
+
+      * on a TPU backend with the OPTIMIZED ladder — the level-batched
+        device engine (ops/batched_mm.py), splitting only down to what
+        stage 5 absorbs directly (its DP is dynamic-size, unlike the
+        reference's static 1024^2 buffers that force maximum-partition=16);
+      * else the native C++ ladder when built;
+      * else the Python splitter (any strategy — the differential twin).
+    """
+    if not max_partition or len(cps) < 2:
+        return cps
+    import jax
+
+    if (jax.default_backend() == "tpu"
+            and strategy == SplitStrategy.OPTIMIZED):
+        import math
+
+        from masa_tpu.ops.batched_mm import reduce_partitions_batched
+
+        mps = max_partition
+        if stage5_max_cells:
+            mps = max(mps, int(math.isqrt(stage5_max_cells)))
+        return reduce_partitions_batched(
+            seq0, seq1, cps, params, mps, log=log)
+    if strategy == SplitStrategy.OPTIMIZED:
+        try:
+            from masa_tpu.native import bindings
+
+            # the native path implements the OPTIMIZED ladder bit-exactly;
+            # other strategies -> Python (differential twins)
+            if bindings.available():
+                return bindings.reduce_partitions(
+                    seq0, seq1, cps, params, max_partition)
+        except ImportError:
+            pass
+    return reduce_partitions(seq0, seq1, cps, params, max_partition,
+                             strategy)

@@ -146,7 +146,11 @@ def worker_main(config_path: str) -> int:
         my4 = pipeline.stage3_densify(seq0, seq1, pcfg, my_cps)
         mps = cfg.get("max_partition", 16)
         if mps:
-            my4 = mm.reduce_partitions(seq0, seq1, my4, params, mps)
+            # engine chosen by this worker's pinned backend (TPU workers
+            # use the level-batched device engine)
+            my4 = mm.stage4_reduce(
+                seq0, seq1, my4, params, mps,
+                stage5_max_cells=pcfg.max_cells_stage5)
 
     from masa_tpu.core.crosspoints import CrosspointsFile
 

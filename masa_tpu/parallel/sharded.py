@@ -633,11 +633,15 @@ def sharded_align(
     traceback: str = "pipelined",
     max_cells_stage5: int = 1 << 18,
     state_dir: str | None = None,
+    max_partition: int = 16,
 ):
     """The full multi-chip alignment: sharded stage 1 over the mesh, then
     pipelined or speculative slab traceback (stage 2), densification
-    (stage 3), exact per-partition traceback with the score invariant
-    (stage 5) and the independent stage-6 re-check.
+    (stage 3), the Myers-Miller stage-4 ladder down to `max_partition`
+    (the reference's MPS=16 loop, stage4/sw_stage4.cpp:926-945 — engine
+    chosen by backend, see ops/myers_miller.stage4_reduce), exact
+    per-partition traceback with the score invariant (stage 5) and the
+    independent stage-6 re-check.
 
     Returns (best_score, Alignment).  The reference equivalent is the
     whole multi-GPU claim: executeTracebackPipelined / Predicted,
@@ -658,6 +662,11 @@ def sharded_align(
         params=params, max_cells_stage5=max_cells_stage5,
     )
     cps = pipeline.stage3_densify(seq0, seq1, pcfg, cps)
+    if max_partition:
+        from masa_tpu.ops import myers_miller as mm
+
+        cps = mm.stage4_reduce(seq0, seq1, cps, params, max_partition,
+                               stage5_max_cells=max_cells_stage5)
     aln = pipeline.stage5_emit(seq0, seq1, pcfg, cps)
     stage6.recheck(aln, seq0, seq1, params)
     if aln.raw_score != full.best:

@@ -46,6 +46,7 @@ class PipelineConfig:
     alignment_end: AlignmentStart | None = None
     flush_interval: int = 0          # 0 = auto
     max_cells_stage5: int = 1 << 18  # partitions at most this many cells
+    max_partition: int = 16          # stage-4 ladder target (0 = skip)
     backend: str = "auto"
     kernel_cfg: wf.WavefrontConfig | None = None
     min_dist: int = 1
@@ -324,4 +325,10 @@ def align_pair(
     res, endpoint = stage1_pass(seq0, seq1, pcfg)
     cps = stage2_march(seq0, seq1, pcfg, endpoint, res.specials)
     cps = stage3_densify(seq0, seq1, pcfg, cps)
+    if pcfg.max_partition:
+        from masa_tpu.ops import myers_miller as mm
+
+        cps = mm.stage4_reduce(seq0, seq1, cps, pcfg.params,
+                               pcfg.max_partition,
+                               stage5_max_cells=pcfg.max_cells_stage5)
     return stage5_emit(seq0, seq1, pcfg, cps, sequences)

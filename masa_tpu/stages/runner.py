@@ -454,43 +454,10 @@ def stage4(job: Job, seq0: np.ndarray, seq1: np.ndarray, aln_id: int = 0,
     cps = job.crosspoints_file(STAGE_3, aln_id).load()
     mps = job.cfg.stage4_max_partition
     if mps:
-        import jax as _jax
-
-        if (_jax.default_backend() == "tpu"
-                and strategy == mm.SplitStrategy.OPTIMIZED):
-            # TPU-first: all of a level's half-passes in a few batched
-            # device calls (ops/batched_mm.py) — the accelerator, not
-            # the host CPU, is the fast resource here.  Split only down
-            # to what stage 5 absorbs directly (its DP is dynamic-size,
-            # unlike the reference's static 1024^2 buffers that force
-            # --maximum-partition=16): each level is device dispatches.
-            import math
-
-            from masa_tpu.ops.batched_mm import reduce_partitions_batched
-
-            mps_eff = max(mps, int(math.isqrt(job.cfg.stage5_max_cells)))
-            cps = reduce_partitions_batched(
-                seq0, seq1, cps, job.cfg.params, mps_eff, log=log
-            )
-        else:
-            try:
-                from masa_tpu.native import bindings
-
-                # the native path implements the OPTIMIZED ladder
-                # bit-exactly; other strategies -> Python (differential)
-                if bindings.available() and \
-                        strategy == mm.SplitStrategy.OPTIMIZED:
-                    cps = bindings.reduce_partitions(
-                        seq0, seq1, cps, job.cfg.params, mps
-                    )
-                else:
-                    cps = mm.reduce_partitions(
-                        seq0, seq1, cps, job.cfg.params, mps, strategy
-                    )
-            except ImportError:
-                cps = mm.reduce_partitions(
-                    seq0, seq1, cps, job.cfg.params, mps, strategy
-                )
+        cps = mm.stage4_reduce(
+            seq0, seq1, cps, job.cfg.params, mps, strategy, log=log,
+            stage5_max_cells=job.cfg.stage5_max_cells,
+        )
     out_cpf.crosspoints = cps
     out_cpf.save()
     job.status.update(stage=STAGE_4)
