@@ -263,10 +263,11 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     batched Mosaic kernel: one dispatch per chained strip for the whole
     tile, whatever the heights.  Each element's height splits into a
     lane-granularity BODY (multiples of alpha*128, through the kernel)
-    and a sub-granularity TAIL (through the XLA dyn engine) — so the
-    Mosaic compile-key set is (cfg, njq, B) and never grows with the
-    height mix.  B pads to _B_TILE on the merged deep-level width
-    (padded elements are height-0 and masked)."""
+    and a sub-granularity TAIL (through the chained row-sweep engine) —
+    so the Mosaic compile-key set is (cfg, njq, B) and never grows with
+    the height mix.  B pads to the next pow2 (padded elements are
+    height-0 and masked); only njq > 8192 levels route here (narrower
+    ones merge to njq = 8192 and take the row-sweep engine)."""
     B = len(halves)
     h_max = max(x.h for x in halves)
     cfg = _pallas_mm_cfg(h_max, njq, params, B)
@@ -274,7 +275,7 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext
     plen = wf.padded_len(cfg, njq)
-    Bb = _B_TILE if njq <= 8192 else 1 << (B - 1).bit_length()
+    Bb = 1 << (B - 1).bit_length()
     grp = list(halves) + [
         dataclasses.replace(halves[0], h=0)] * (Bb - B)
     bodies = [(x.h // gran) * gran for x in grp]
@@ -317,10 +318,14 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
         eng = rowsweep.batched_sweep_engine(
             njq + 1, _SWEEP_R, False, go, ge,
             params.match, params.mismatch)
-        th, tf = eng(
-            s0d, s1d, i0s[sel_a], j0s[sel_a], bodies_a[sel_a],
-            ccodes[sel_a], bh[sel_a, :njq], bf[sel_a, :njq],
-            jnp.asarray([tails[k] for k in sel], jnp.int32))
+        # chain: tails range up to gran-1 = alpha*128-1 rows, far more
+        # than one _SWEEP_R rung (the engine clips h_rem to [0, R])
+        tails_sel = jnp.asarray([tails[k] for k in sel], jnp.int32)
+        th, tf = bh[sel_a, :njq], bf[sel_a, :njq]
+        for s0r in range(0, max(tails), _SWEEP_R):
+            th, tf = eng(
+                s0d, s1d, i0s[sel_a], j0s[sel_a], bodies_a[sel_a] + s0r,
+                ccodes[sel_a], th, tf, tails_sel - s0r)
         fillw = jnp.full((pad_to, plen - njq), NEG, jnp.int32)
         th = jnp.concatenate([th, fillw], axis=1)
         tf = jnp.concatenate([tf, fillw], axis=1)
@@ -345,6 +350,11 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
 # and per-pair dispatches tie Mosaic at B<=8 without beating it.
 _DYN_H_MAX = 256
 
+# minimum logical width for the Mosaic engine; narrower levels merge to
+# exactly this width and take the row-sweep engine.  Module global so
+# measurement tools can force the Mosaic path (tools/round2_measure.py).
+_MOSAIC_NJQ_MIN = 8192
+
 
 # Fixed batch tile: every Mosaic/prep/match dispatch pads to at most
 # this many elements, so the compile-key set (and the per-level XLA
@@ -362,7 +372,7 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
     B = len(halves)
     h_max = max(x.h for x in halves)
     if (jax.default_backend() == "tpu" and h_max > _DYN_H_MAX
-            and njq > 8192):
+            and njq > _MOSAIC_NJQ_MIN):
         # wide levels: the dynamic-height Mosaic kernel takes a tile's
         # height MIX directly — no per-height compile keys
         outs = []

@@ -123,15 +123,6 @@ def sweep(a_chars, b_row, h0, e0, row_h, row_f, stop_after,
     return out
 
 
-def _border_f_traced(code, k, go: int, ge: int):
-    """Traced twin of stages.core._border_f_value: the vertical-gap
-    value along a synthesized border ROW (GAPS_OPENED continues the
-    pinned gap without re-charging gap_open)."""
-    k = jnp.asarray(k, jnp.int32)
-    return jnp.where(jnp.asarray(code) == 2, -k * ge,
-                     -go - k * ge).astype(jnp.int32)
-
-
 @functools.lru_cache(maxsize=32)
 def batched_sweep_engine(n1: int, R: int, sw: bool, go: int, ge: int,
                          match: int, mismatch: int):

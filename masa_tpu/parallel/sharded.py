@@ -348,12 +348,26 @@ def _sharded_run(
     r_start = 0
     carry_names = ("bus_h", "bus_f", "recv_h", "recv_e", "corner",
                    "best3", "gbest", "npruned")
+    # a resumed carry is only valid for the SAME run: geometry alone
+    # (W/R/D/c) misses score params, pruning, and the sequences — a
+    # rerun with different params in the same work dir must recompute,
+    # not return the stale result (Status-file fingerprint semantics,
+    # common/Status.cpp:70-89 + common/Job.cpp:102-146)
+    import hashlib
+
+    fp_src = repr((m, n, params.match, params.mismatch, params.gap_open,
+                   params.gap_ext, prune, flush_stride, capture_cols,
+                   cfg.alpha, cfg.rs, cfg.chunk, int(cfg.recurrence),
+                   hashlib.sha1(seq0[:4096].tobytes()).hexdigest(),
+                   hashlib.sha1(seq1[:4096].tobytes()).hexdigest()))
+    run_fp = hashlib.sha1(fp_src.encode()).hexdigest()
     carry = None
     if ck_path and os.path.exists(ck_path):
         try:
             with np.load(ck_path) as z:
                 if (int(z["W"]) == W and int(z["R"]) == R
-                        and int(z["D"]) == D and int(z["c"]) == c):
+                        and int(z["D"]) == D and int(z["c"]) == c
+                        and str(z["fp"]) == run_fp):
                     r_start = int(z["round0"])
                     carry = [np.asarray(z[k]) for k in carry_names]
         except Exception:
@@ -417,7 +431,7 @@ def _sharded_run(
         if ck_path:
             carry_np = [pull(x) for x in carry]
             tmp = ck_path + ".tmp.npz"   # np.savez appends .npz itself
-            np.savez(tmp, round0=r0 + c, W=W, R=R, D=D, c=c,
+            np.savez(tmp, round0=r0 + c, W=W, R=R, D=D, c=c, fp=run_fp,
                      **dict(zip(carry_names, carry_np)))
             os.replace(tmp, ck_path)
             if sink is not None:

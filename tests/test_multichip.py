@@ -150,6 +150,32 @@ class TestShardedResume:
                 assert np.array_equal(pr.first_col[0], pf.first_col[0])
                 assert np.array_equal(pr.first_col[1], pf.first_col[1])
 
+    def test_stale_carry_invalidated_on_param_change(self, dna, homolog,
+                                                     tmp_path):
+        """A COMPLETED run's carry checkpoint must not satisfy a rerun
+        with different score params in the same state dir: the carry is
+        fingerprinted over params/prune/sequences, so the changed rerun
+        recomputes instead of returning the stale result (round-3 review
+        finding; Status fingerprint semantics, common/Job.cpp:102-146)."""
+        import masa_tpu.parallel.sharded as sh
+
+        s0 = dna(2048, seed=191)
+        s1 = homolog(s0, seed=192)
+        mesh = make_mesh(4)
+        cfg = WavefrontConfig(alpha=4, rs=1, chunk=512,
+                              recurrence=Recurrence.SMITH_WATERMAN)
+        state = str(tmp_path / "state")
+        r1 = sh.sharded_stage1_full(s0, s1, mesh, cfg, P, flush_stride=1,
+                                    state_dir=state)
+        p2 = ScoreParams(match=2, mismatch=-1, gap_open=4, gap_ext=2)
+        r2 = sh.sharded_stage1_full(s0, s1, mesh, cfg, p2, flush_stride=1,
+                                    state_dir=state)
+        ref2 = sh.sharded_stage1_full(s0, s1, mesh, cfg, p2,
+                                      flush_stride=1)
+        assert (r2.best, r2.best_i, r2.best_j) == (
+            ref2.best, ref2.best_i, ref2.best_j)
+        assert r2.best != r1.best
+
 
 class TestScoreSharePruning:
     """Distributed score-share pruning (TPDS2021) — the feature the

@@ -102,3 +102,39 @@ def test_stage6_histogram_format():
     assert out.count('rx="1.5"') == 64          # one bar per bin
     assert f"score {aln.raw_score}" in out
     assert set(stage6.FORMATS) == {"text", "svg", "histogram"}
+
+
+def test_mosaic_tail_chains_beyond_sweep_rung(monkeypatch):
+    """Sub-granularity tails taller than one row-sweep rung (_SWEEP_R =
+    512 rows) must CHAIN through the engine: a single call silently
+    truncates the DP at 512 rows (round-3 review finding).  Forcing
+    gran = alpha*128 = 1024 > h = 700 makes the whole height a tail, so
+    the path runs engine-only on CPU; the chained result must equal the
+    _halves_sweep ground truth."""
+    import dataclasses
+
+    from masa_tpu.ops import batched_mm as bmm
+    from masa_tpu.ops.wavefront import Recurrence
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s0 = rng.choice(bases, 900).astype(np.uint8)
+    s1 = rng.choice(bases, 800).astype(np.uint8)
+
+    def fake_cfg(h, njq, params, B=1):
+        return dataclasses.replace(
+            WavefrontConfig(alpha=8, rs=32, chunk=8192),
+            recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+            track_best=False, store_lastcol=False,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_ext=params.gap_ext)
+
+    monkeypatch.setattr(bmm, "_pallas_mm_cfg", fake_cfg)
+    njq = 1024
+    dev = bmm._DevSeqs(s0, s1, pad0=4096, pad1=njq + 4096)
+    halves = [bmm._Half(0, 700, 0, 750, 1, 1),
+              bmm._Half(100, 690, 30, 700, 0, 2)]
+    mh, mf = bmm._halves_mosaic(dev, halves, False, P, njq)
+    sh, sf = bmm._halves_sweep(dev, halves, False, P, njq)
+    np.testing.assert_array_equal(np.asarray(mh), np.asarray(sh)[:, :njq])
+    np.testing.assert_array_equal(np.asarray(mf), np.asarray(sf)[:, :njq])

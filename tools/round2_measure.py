@@ -73,11 +73,14 @@ def main():
     pcfg = pipeline.PipelineConfig(params=params)
     res, ep = pipeline.stage1_pass(ss, st, pcfg)
     cps2 = pipeline.stage2_march(ss, st, pcfg, ep, res.specials)
-    saved = bmm._DYN_H_MAX
+    saved = (bmm._DYN_H_MAX, bmm._MOSAIC_NJQ_MIN)
     try:
-        # force the Mosaic engine on every level (h_max > 0 beats the
-        # threshold, so _run_level never falls back to the dyn scan)
+        # force the Mosaic engine on every level: h_max > 0 beats the
+        # height threshold AND njq > 0 beats the width floor (narrow
+        # levels merge to exactly njq=8192, which the production
+        # `njq > _MOSAIC_NJQ_MIN` routes to the row-sweep engine)
         bmm._DYN_H_MAX = 0
+        bmm._MOSAIC_NJQ_MIN = 0
         t0 = time.time()
         out = bmm.reduce_partitions_batched(ss, st, cps2, params, 16)
         aln = pipeline.stage5_emit(ss, st, pcfg, out)
@@ -85,7 +88,7 @@ def main():
         print(f"mosaic-engine: {len(out)} cps exact in "
               f"{time.time()-t0:.1f}s", flush=True)
     finally:
-        bmm._DYN_H_MAX = saved
+        bmm._DYN_H_MAX, bmm._MOSAIC_NJQ_MIN = saved
 
     # ---- 2. stage-1 timings -------------------------------------------
     store = {}
