@@ -36,7 +36,7 @@ def test_two_process_sharded_stage1(tmp_path):
     coord = f"127.0.0.1:{port}"
     out = tmp_path / "mh.json"
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coord, "2", str(pid), str(out)],

@@ -29,6 +29,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# a TPU plugin on the inherited PYTHONPATH may ignore the env var (and
+# hang in remote backend init); the config route always wins
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     coordinator, num_procs, proc_id, out_path = (
