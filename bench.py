@@ -131,7 +131,10 @@ def main():
                     # per-stage boundaries from the runners' completion
                     # lines (each stage logs once at its end)
                     msg = " ".join(str(x) for x in a)
+                    # stage1's completion line is "stage1: best=... at
+                    # (i,j)"; the others end "... in N.NNs"
                     if msg.startswith("stage") and ("in " in msg
+                                                    or "best=" in msg
                                                     or "wrote" in msg):
                         marks.append(time.time())
                         names.append(msg.split(":")[0])

@@ -299,15 +299,26 @@ def main(argv=None) -> int:
         # standard work-dir artifact set (libmasa.cpp:659-696 + 1351-1394)
         cps = pipelined_traceback(seq0, seq1, parts, params,
                                   backend=backend)
+        t2 = _time.time()
         pcfg = _pl.PipelineConfig(params=params,
                                   max_cells_stage5=jcfg.stage5_max_cells)
         cps = _pl.stage3_densify(seq0, seq1, pcfg, cps)
+        t3 = _time.time()
+        if args.maximum_partition:
+            from masa_tpu.ops import myers_miller as _mm
+
+            cps = _mm.stage4_reduce(seq0, seq1, cps, params,
+                                    args.maximum_partition,
+                                    stage5_max_cells=jcfg.stage5_max_cells)
+        t4 = _time.time()
         aln = _pl.stage5_emit(seq0, seq1, pcfg, cps)
         fmt = (args.output_format if args.output_format != "binary"
                else "text")
         runner.finish_alignment(
             job, seq0, seq1, aln, cps=cps, fmt=fmt, log=log,
-            elapsed={"stage1": t1 - t0, "stage2": _time.time() - t1})
+            elapsed={"stage1": t1 - t0, "stage2": t2 - t1,
+                     "stage3": t3 - t2, "stage4": t4 - t3,
+                     "stage5": _time.time() - t4})
         print(f"alignment score: {aln.raw_score}  "
               f"(weighted column split {[p.j1 - p.j0 for p in parts]}; "
               f"matches={aln.matches} mismatches={aln.mismatches} "

@@ -130,6 +130,7 @@ class SpecialRowsPartition:
         # disk-destined lazy rows whose async device->host transfer is
         # still in flight: [(r, LazyFullRow)], drained opportunistically
         self._pending: list = []
+        self._pending_bytes = 0  # disk-destined rows still in flight
         os.makedirs(dirpath, exist_ok=True)
         self._load_meta()
         self._save_meta()
@@ -170,11 +171,12 @@ class SpecialRowsPartition:
         fill at the rate their budgets allow, and the faster store is
         exhausted first rather than last."""
         nbytes = 8 * len(h) + 20
+        disk_used = self._disk_bytes + self._pending_bytes
         ram_fits = self._ram_bytes + nbytes <= self.ram_limit
-        disk_fits = self._disk_bytes + nbytes <= self.disk_limit
+        disk_fits = disk_used + nbytes <= self.disk_limit
         ram_frac = ((self._ram_bytes + nbytes) / self.ram_limit
                     if self.ram_limit else 2.0)
-        disk_frac = ((self._disk_bytes + nbytes) / self.disk_limit
+        disk_frac = ((disk_used + nbytes) / self.disk_limit
                      if self.disk_limit else 2.0)
         if ram_fits and (ram_frac <= disk_frac or not disk_fits):
             self._ram[r] = (np.asarray(h, np.int64),
@@ -194,11 +196,15 @@ class SpecialRowsPartition:
         device's packed form once the bytes land (drained on later puts
         and at finalize) — stage 1 never blocks on the tunnel for it."""
         nbytes = 8 * lazy.count + 20
+        # in-flight rows charge the disk budget NOW (the write lands in
+        # _drain later; without the charge a burst of lazy puts would
+        # oversubscribe the budget by the transfer window)
+        disk_used = self._disk_bytes + self._pending_bytes
         ram_fits = self._ram_bytes + nbytes <= self.ram_limit
-        disk_fits = self._disk_bytes + nbytes <= self.disk_limit
+        disk_fits = disk_used + nbytes <= self.disk_limit
         ram_frac = ((self._ram_bytes + nbytes) / self.ram_limit
                     if self.ram_limit else 2.0)
-        disk_frac = ((self._disk_bytes + nbytes) / self.disk_limit
+        disk_frac = ((disk_used + nbytes) / self.disk_limit
                      if self.disk_limit else 2.0)
         if ram_fits and (ram_frac <= disk_frac or not disk_fits):
             self._ram[r] = lazy
@@ -206,6 +212,7 @@ class SpecialRowsPartition:
         elif disk_fits:
             lazy.start()
             self._pending.append((r, lazy))
+            self._pending_bytes += nbytes
             self._drain(block=False)
 
     def _drain(self, block: bool) -> None:
@@ -214,6 +221,7 @@ class SpecialRowsPartition:
             if not block and not lazy.ready():
                 break
             self._pending.pop(0)
+            self._pending_bytes -= 8 * lazy.count + 20
             self._disk_bytes += write_row_packed(self.dir, r, lazy)
             self._disk.add(r)
 

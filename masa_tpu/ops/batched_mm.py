@@ -450,7 +450,11 @@ def _run_match(fh, ff, rh, rf, fwd0, rev0, ws, goals, njq: int, go: int
     for off in range(0, B, _B_TILE):
         end = min(off + _B_TILE, B)
         n = end - off
-        pad = (_B_TILE - n) if B > _B_TILE or n == _B_TILE else 0
+        # ALWAYS pad to the fixed tile: one XLA trace per njq (a short
+        # tile would retrace per distinct level batch size; the padded
+        # elements are a few wasted VPU scans, the retrace is a remote
+        # compile)
+        pad = _B_TILE - n
         if pad:
             sl = lambda a: jnp.concatenate(
                 [a[off:end], jnp.repeat(a[end - 1 : end], pad, axis=0)])

@@ -734,17 +734,21 @@ def _dev_seq_key(arr: np.ndarray, sentinel: int, reverse: bool, pad: int):
 
 def dev_seq_peek(arr: np.ndarray, sentinel: int, pad: int,
                  reverse: bool = False):
-    """The cached device copy, or None — without uploading.  A larger
-    pad satisfies, and a cached opposite-direction twin counts as a hit
-    too (dev_seq builds the flip on device, no transfer)."""
+    """A device view of `arr` in the REQUESTED direction if one can be
+    produced without a host upload, else None.  A cached same-direction
+    entry with enough pad serves directly; a cached opposite-direction
+    twin is flipped on device through dev_seq (one fused device op, no
+    transfer) — never returned un-flipped."""
     if _DEV_SEQ_CACHE is None:
         return None
     a = np.asarray(arr)
     hit = _dev_seq_find(a, sentinel, reverse, pad)[1]
     if hit is not None:
         return hit
-    fwd = _dev_seq_find(a, sentinel, not reverse, 0)[1]
-    return fwd if fwd is not None and len(fwd) >= len(a) else None
+    twin = _dev_seq_find(a, sentinel, not reverse, 0)[1]
+    if twin is not None and len(twin) >= len(a):
+        return dev_seq(arr, sentinel, pad, reverse)
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("n", "total", "sentinel",

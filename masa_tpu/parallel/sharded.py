@@ -60,11 +60,18 @@ class ShardedFullResult:
     pruned_strips: np.ndarray | None = None
 
 
-def _strip_fn(cfg, W, backend):
+def _strip_fn(cfg, W, backend, h_true: int | None = None):
     """Run one strip over a local slab given border state.  Returns
-    (bus_h, bus_f, lastcol_h, lastcol_e, best_v, best_t)."""
+    (bus_h, bus_f, lastcol_h, lastcol_e, best_v, best_t).
+
+    ``h_true`` < cfg.rows builds the PARTIAL-strip variant (the tail
+    strip when m % rows != 0): the DP stops at the true matrix row, so
+    the returned bus is the real last row instead of a sentinel-decayed
+    row ``m_pad``.  The last column pads to ``rows`` with -INF (unread
+    rows; keeps cond-branch shapes equal)."""
     T = cfg.steps(W)
     blen = wf.padded_len(cfg, W) if backend == "pallas" else T
+    h = cfg.rows if h_true is None else h_true
 
     def run(a_strip, b_ext, bus_h, bus_f, init_h_vec, init_e_vec, corner):
         a_lanes = wf.pack_lanes_jnp(cfg, a_strip)
@@ -73,21 +80,25 @@ def _strip_fn(cfg, W, backend):
         if backend == "pallas":
             out = wf.strip_pallas(
                 cfg, a_lanes, b_ext, bus_h, bus_f, init_h, init_e,
-                corner, W, cfg.rows,
+                corner, W, h,
             )
-            bh = wf.slice_bus(cfg, out["bus_h"], W, cfg.rows)
-            bf = wf.slice_bus(cfg, out["bus_f"], W, cfg.rows)
+            bh = wf.slice_bus(cfg, out["bus_h"], W, h)
+            bf = wf.slice_bus(cfg, out["bus_f"], W, h)
         else:
             out = wf.strip_scan(
                 cfg, a_lanes, b_ext, bus_h, bus_f, init_h, init_e,
-                corner, W, cfg.rows,
+                corner, W, h,
             )
             bh, bf = out["bus_h"], out["bus_f"]
         pad = blen - W
         bh = jnp.concatenate([bh, jnp.full(pad, NEG, jnp.int32)])
         bf = jnp.concatenate([bf, jnp.full(pad, NEG, jnp.int32)])
-        return (bh, bf, out["lastcol_h"], out["lastcol_e"],
-                out["best_v"], out["best_t"])
+        lch, lce = out["lastcol_h"], out["lastcol_e"]
+        if h < cfg.rows:
+            fill = jnp.full(cfg.rows - h, NEG, jnp.int32)
+            lch = jnp.concatenate([lch, fill])
+            lce = jnp.concatenate([lce, fill])
+        return (bh, bf, lch, lce, out["best_v"], out["best_t"])
 
     return run, blen
 
@@ -156,6 +167,12 @@ def _sharded_run(
     b_sharded = b_pad.reshape(D, W)
 
     run_strip, blen = _strip_fn(cfg, W, backend)
+    # partial tail strip (m % R != 0): its own compiled variant stops at
+    # the true last row; without it the bus decays through the sentinel
+    # rows and the emitted "last row" is row m_pad, not row m
+    tail_h = m - (n_strips - 1) * R
+    run_tail = _strip_fn(cfg, W, backend, h_true=tail_h)[0] \
+        if tail_h < R else None
 
     # chunk length: cover every device's flush cadence a few times per
     # chunk so the sp buffer stays small but dispatches stay amortized
@@ -214,8 +231,14 @@ def _sharded_run(
                 run_it = active
 
             def do(_):
-                return run_strip(a_strip, b_ext, bus_h, bus_f,
-                                 init_h, init_e, corner_eff)
+                args = (a_strip, b_ext, bus_h, bus_f, init_h, init_e,
+                        corner_eff)
+                if run_tail is None:
+                    return run_strip(*args)
+                return jax.lax.cond(
+                    s_c == n_strips - 1,
+                    lambda _: run_tail(*args),
+                    lambda _: run_strip(*args), None)
 
             def skip(_):
                 if prune:
@@ -358,8 +381,8 @@ def _sharded_run(
     fp_src = repr((m, n, params.match, params.mismatch, params.gap_open,
                    params.gap_ext, prune, flush_stride, capture_cols,
                    cfg.alpha, cfg.rs, cfg.chunk, int(cfg.recurrence),
-                   hashlib.sha1(seq0[:4096].tobytes()).hexdigest(),
-                   hashlib.sha1(seq1[:4096].tobytes()).hexdigest()))
+                   hashlib.sha1(np.ascontiguousarray(seq0)).hexdigest(),
+                   hashlib.sha1(np.ascontiguousarray(seq1)).hexdigest()))
     run_fp = hashlib.sha1(fp_src.encode()).hexdigest()
     carry = None
     if ck_path and os.path.exists(ck_path):

@@ -557,6 +557,7 @@ def finish_alignment(job: Job, seq0, seq1, aln: balign.Alignment,
         f.crosspoints = list(cps)
         f.save()
     for stage, key in ((STAGE_1, "stage1"), (STAGE_2, "stage2"),
+                       (STAGE_3, "stage3"), (STAGE_4, "stage4"),
                        (STAGE_5, "stage5")):
         with job.stats_file(stage, aln_id) as fh:
             if elapsed and key in elapsed:

@@ -53,6 +53,26 @@ class TestShardedStage1:
         assert np.array_equal(canon(res.last_h[:n]), canon(ref.last_h[1:]))
         assert np.array_equal(canon(res.last_f[:n]), canon(ref.last_f[1:]))
 
+    def test_last_row_parity_partial_tail(self, dna, homolog):
+        """m % rows != 0: the tail strip must stop at the TRUE last row
+        (its own partial-height kernel variant) — without it the bus
+        decays through sentinel rows and `last_h` comes back as the
+        meaningless padded row m_pad (round-3 slow-lane regression)."""
+        s0 = dna(300, seed=75)   # rows=512 -> one partial strip
+        s1 = homolog(s0, seed=76)
+        mesh = make_mesh(2)
+        cfg = WavefrontConfig(
+            alpha=4, rs=1, chunk=512,
+            recurrence=Recurrence.SMITH_WATERMAN,
+            track_best=True, store_lastcol=True,
+        )
+        res = sharded_stage1(s0, s1, mesh, cfg, P)
+        ref = oracle.dp_rows(s0, s1, P)
+        n = len(s1)
+        assert res.best == ref.best
+        assert np.array_equal(canon(res.last_h[:n]), canon(ref.last_h[1:]))
+        assert np.array_equal(canon(res.last_f[:n]), canon(ref.last_f[1:]))
+
 
 class TestShardedPallasBranch:
     @pytest.mark.slow
