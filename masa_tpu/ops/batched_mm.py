@@ -175,19 +175,24 @@ def _halves_sweep(dev: _DevSeqs, halves: list[_Half], rev: bool,
     return bh[:B], bf[:B]
 
 
-def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams, B: int = 1):
-    """Cost-aware ladder choice: the kernel computes ALL R strip rows
-    regardless of the true height, so covering h with one oversized
-    strip can waste up to ~6x compute vs chaining a smaller rung; weigh
-    computed cells (~150 GCUPS) TIMES the batch size against the
-    per-dispatch latency (~20 ms) — at B=128 the padded compute
-    dominates and a smaller rung with more chains wins."""
+def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams, B: int = 1,
+                   heights: tuple | None = None):
+    """Cost-aware ladder choice.  The dynamic-height kernel masks out
+    FINISHED elements per chained step (hvs = 0 skips every chunk), so
+    an element only pays ceil(h_e / R) chains — not the tile's worst
+    case.  Cost = true per-element chains x (R * njq / 150 GCUPS) of
+    compute plus ~20 ms dispatch per chained step; a tall rung with a
+    near-multiple height mix beats a short rung's long dispatch chain
+    (measured: a 66K-row B=8 group ran 5x faster at R=32768 than the
+    R=4096 chain the B-blind model picked)."""
     from masa_tpu.stages.core import _TPU_LADDER
 
+    hs = heights if heights else (h,) * max(B, 1)
     best, best_cost = None, None
     for c in _TPU_LADDER:
-        chains = -(-h // c.rows)
-        cost = chains * (max(B, 1) * c.rows * njq / 150e9 + 0.02)
+        el_chains = sum(-(-he // c.rows) for he in hs if he > 0)
+        dispatches = -(-h // c.rows)
+        cost = el_chains * c.rows * njq / 150e9 + dispatches * 0.02
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return dataclasses.replace(
@@ -270,7 +275,8 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     ones merge to njq = 8192 and take the row-sweep engine)."""
     B = len(halves)
     h_max = max(x.h for x in halves)
-    cfg = _pallas_mm_cfg(h_max, njq, params, B)
+    cfg = _pallas_mm_cfg(h_max, njq, params, B,
+                         heights=tuple(x.h for x in halves))
     gran = cfg.alpha * 128
     R = cfg.rows
     go, ge = params.gap_open, params.gap_ext

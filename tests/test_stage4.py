@@ -121,7 +121,7 @@ def test_mosaic_tail_chains_beyond_sweep_rung(monkeypatch):
     s0 = rng.choice(bases, 900).astype(np.uint8)
     s1 = rng.choice(bases, 800).astype(np.uint8)
 
-    def fake_cfg(h, njq, params, B=1):
+    def fake_cfg(h, njq, params, B=1, heights=None):
         return dataclasses.replace(
             WavefrontConfig(alpha=8, rs=32, chunk=8192),
             recurrence=Recurrence.NEEDLEMAN_WUNSCH,
