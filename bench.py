@@ -43,8 +43,43 @@ def homolog(rng, seq, sub_rate=0.08, indel_every=1 << 16):
     return np.concatenate(parts)
 
 
+def _wait_for_backend(patience_s):
+    """Probe backend init in a subprocess (it can hang OR fail UNAVAILABLE
+    for hours during tunnel outages — memory: hours-long degradation
+    windows).  Returns True once a probe succeeds; False when patience
+    runs out, in which case the caller must pin jax to CPU *before*
+    importing it (an in-process failed init is cached by xla_bridge)."""
+    import subprocess
+
+    deadline = time.time() + patience_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# backend probe {attempt} failed; retrying "
+              f"({int(deadline - time.time())}s of patience left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(240, max(1, deadline - time.time())))
+
+
 def main():
+    patience = float(os.environ.get("MASA_BENCH_PATIENCE", "2700"))
+    backend_ok = _wait_for_backend(patience)
+
     import jax
+
+    if not backend_ok:
+        # chip unreachable: an honest CPU dev-mode line beats no record
+        jax.config.update("jax_platforms", "cpu")
 
     from masa_tpu.utils.devices import enable_persistent_compile_cache
 
