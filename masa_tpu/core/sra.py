@@ -255,6 +255,9 @@ class SpecialRowsPartition:
             v = self._ram.pop(r)
             count = v.count if not isinstance(v, tuple) else len(v[0])
             self._ram_bytes -= 8 * count + 20
+        for r, lz in self._pending:
+            if r > i:
+                self._pending_bytes -= 8 * lz.count + 20
         self._pending = [(r, lz) for r, lz in self._pending if r <= i]
         for r in [r for r in self._disk if r > i]:
             try:

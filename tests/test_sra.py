@@ -215,3 +215,28 @@ class TestLazyRows:
         p.truncate_above(4)
         assert p.rows() == [2, 4]
         assert p._ram_bytes == before * 2 // 3
+
+    def test_truncate_refunds_pending_disk_budget(self, tmp_path):
+        """Dropping a still-in-flight disk-destined lazy row must refund
+        its _pending_bytes charge, or the disk budget stays permanently
+        oversubscribed and later rows get dropped."""
+        from masa_tpu.core.manager import LazyFullRow
+
+        p = SpecialRowsPartition(str(tmp_path / "p"), 0, 0, 10, 4096,
+                                 ram_limit=0, disk_limit=1 << 30)
+
+        class _StuckPull(_FakePull):
+            def ready(self):
+                return False          # transfer never completes
+
+        for r in (2, 4, 6):
+            h, f = rows_of(256, 0, r)
+            lazy = LazyFullRow(_StuckPull(h, f), border_h=0, border_f=-1)
+            p.put_lazy(r, lazy)
+        assert len(p._pending) == 3 and p._pending_bytes > 0
+        per_row = p._pending_bytes // 3
+        p.truncate_above(4)
+        assert [r for r, _ in p._pending] == [2, 4]
+        assert p._pending_bytes == 2 * per_row
+        p.truncate_above(0)
+        assert p._pending == [] and p._pending_bytes == 0
