@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""On-chip record: the CLI's --split 1 path (sharded_align over a
+1-device mesh, Pallas backend, chunked resumable stage 1) vs the
+monolithic library pipeline on the same 1M pair — the VERDICT round-2
+done-criterion "--split 1 on-chip ~= monolithic perf (recorded)".
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/split1_record.py
+
+Probe-gated; prints one JSON line.  Both paths run twice (best-of-2:
+the first run pays Mosaic cache loads); scores must equal the frozen
+bench score 796634.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from masa_tpu.utils.devices import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    from bench import homolog
+    from masa_tpu.ops import strips
+    from masa_tpu.ops.wavefront import WavefrontConfig
+    from masa_tpu.types import InitType, ScoreParams
+
+    params = ScoreParams()
+    cfg = WavefrontConfig(alpha=32, rs=32, chunk=8192, track_best=True,
+                          store_lastcol=False)
+    R = cfg.rows
+    m = 1 << 20
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s0 = rng.choice(bases, size=m).astype(np.uint8)
+    h1 = homolog(np.random.default_rng(1), s0)
+
+    def probe():
+        sub = s0[:2 * R]
+        t0 = time.time()
+        strips.run_partition(cfg, sub, h1, params, InitType.WITH_ZEROES,
+                             InitType.WITH_ZEROES, backend="pallas",
+                             want_last_row=False)
+        return 2 * R * len(h1) / (time.time() - t0) / 1e9
+
+    probe()
+    for i in range(48):
+        g = probe()
+        bar = 100 if i < 24 else 40
+        print(f"[probe {i}] {g:.1f} GCUPS (bar {bar})", flush=True)
+        if g > bar:
+            break
+        time.sleep(270)
+    else:
+        print("chip never recovered; aborting", flush=True)
+        return 1
+
+    from masa_tpu.parallel.mesh import make_mesh
+    from masa_tpu.parallel.sharded import sharded_align
+    from masa_tpu.stages import pipeline
+
+    mesh = make_mesh(1)
+    sharded_s = mono_s = None
+    score_sh = score_mono = None
+    for attempt in range(2):
+        sd = tempfile.mkdtemp(prefix="masa_split1_")
+        t0 = time.time()
+        best, aln = sharded_align(s0, h1, mesh, params=params,
+                                  backend="pallas", state_dir=sd)
+        dt = time.time() - t0
+        print(f"[sharded run {attempt}] {dt:.2f}s score={best}",
+              flush=True)
+        sharded_s = dt if sharded_s is None else min(sharded_s, dt)
+        score_sh = int(best)
+        import shutil
+
+        shutil.rmtree(sd, ignore_errors=True)
+    for attempt in range(2):
+        t0 = time.time()
+        aln = pipeline.align_pair(s0, h1,
+                                  pipeline.PipelineConfig(params=params))
+        dt = time.time() - t0
+        print(f"[mono run {attempt}] {dt:.2f}s score={aln.raw_score}",
+              flush=True)
+        mono_s = dt if mono_s is None else min(mono_s, dt)
+        score_mono = int(aln.raw_score)
+    assert score_sh == score_mono == 796634, (score_sh, score_mono)
+    print(json.dumps({
+        "metric": "split1_vs_mono",
+        "sharded_1dev_s": round(sharded_s, 2),
+        "mono_library_s": round(mono_s, 2),
+        "ratio": round(sharded_s / mono_s, 3),
+        "score": score_sh,
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
