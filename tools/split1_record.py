@@ -35,7 +35,10 @@ def main():
     cfg = WavefrontConfig(alpha=32, rs=32, chunk=8192, track_best=True,
                           store_lastcol=False)
     R = cfg.rows
-    m = 1 << 20
+    # MASA_SPLIT1_M overrides the size (CPU smoke: set it small, use
+    # MASA_SPLIT1_BACKEND=scan and MASA_SPLIT1_NOPROBE=1)
+    m = int(os.environ.get("MASA_SPLIT1_M", 1 << 20))
+    backend = os.environ.get("MASA_SPLIT1_BACKEND", "pallas")
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", np.uint8)
     s0 = rng.choice(bases, size=m).astype(np.uint8)
@@ -49,17 +52,18 @@ def main():
                              want_last_row=False)
         return 2 * R * len(h1) / (time.time() - t0) / 1e9
 
-    probe()
-    for i in range(48):
-        g = probe()
-        bar = 100 if i < 24 else 40
-        print(f"[probe {i}] {g:.1f} GCUPS (bar {bar})", flush=True)
-        if g > bar:
-            break
-        time.sleep(270)
-    else:
-        print("chip never recovered; aborting", flush=True)
-        return 1
+    if not os.environ.get("MASA_SPLIT1_NOPROBE"):
+        probe()
+        for i in range(48):
+            g = probe()
+            bar = 100 if i < 24 else 40
+            print(f"[probe {i}] {g:.1f} GCUPS (bar {bar})", flush=True)
+            if g > bar:
+                break
+            time.sleep(270)
+        else:
+            print("chip never recovered; aborting", flush=True)
+            return 1
 
     from masa_tpu.parallel.mesh import make_mesh
     from masa_tpu.parallel.sharded import sharded_align
@@ -72,7 +76,7 @@ def main():
         sd = tempfile.mkdtemp(prefix="masa_split1_")
         t0 = time.time()
         best, aln = sharded_align(s0, h1, mesh, params=params,
-                                  backend="pallas", state_dir=sd)
+                                  backend=backend, state_dir=sd)
         dt = time.time() - t0
         print(f"[sharded run {attempt}] {dt:.2f}s score={best}",
               flush=True)
@@ -90,7 +94,9 @@ def main():
               flush=True)
         mono_s = dt if mono_s is None else min(mono_s, dt)
         score_mono = int(aln.raw_score)
-    assert score_sh == score_mono == 796634, (score_sh, score_mono)
+    assert score_sh == score_mono, (score_sh, score_mono)
+    if m == 1 << 20:
+        assert score_sh == 796634, score_sh  # the frozen bench score
     print(json.dumps({
         "metric": "split1_vs_mono",
         "sharded_1dev_s": round(sharded_s, 2),
