@@ -138,3 +138,37 @@ def test_mosaic_tail_chains_beyond_sweep_rung(monkeypatch):
     sh, sf = bmm._halves_sweep(dev, halves, False, P, njq)
     np.testing.assert_array_equal(np.asarray(mh), np.asarray(sh)[:, :njq])
     np.testing.assert_array_equal(np.asarray(mf), np.asarray(sf)[:, :njq])
+
+
+def test_partition_config_rung_cost_model(monkeypatch):
+    """The stage-2 hop rung chooser: full strips run fused Mosaic, the
+    rows % R tail runs the slow scan twin — so arbitrary hop heights
+    must pick the rung minimizing kernel+dispatch+tail cost, not just
+    the tallest rung (a 32K-row scan tail costs seconds)."""
+    import jax
+
+    from masa_tpu.stages import core
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # heights aligned to a rung take the biggest ELIGIBLE rung (a rung
+    # needs >= 2 full strips unless it's the smallest — one-strip
+    # coverage by a taller rung would mint a new Mosaic compile key
+    # for ~one saved dispatch)
+    assert core.partition_config(262144, 1 << 20).rows == 131072
+    assert core.partition_config(131072, 1 << 20).rows == 32768  # tail 0
+    assert core.partition_config(65536, 1 << 20).rows == 32768
+
+    # a big rung plus a small remainder: the tail dominates at scan
+    # speed, so a smaller rung whose tail is tiny must win
+    cfg = core.partition_config(131072 + 300, 1 << 20)
+    assert cfg.rows < 131072
+    tail = (131072 + 300) % cfg.rows
+    assert tail * (1 << 20) / core._SCAN_GCUPS < 2.0  # seconds, small
+
+    # tiny hops: the smallest rung
+    assert core.partition_config(700, 1 << 20) is core._TPU_LADDER[0]
+
+    # off-TPU the chooser defers to the CPU ladder
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert core.partition_config(131072, 1 << 20) is core._CPU_LADDER[0]
