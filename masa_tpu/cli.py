@@ -441,6 +441,10 @@ def _self_test() -> int:
           f" {'OK' if ok else 'FAIL'}")
     cps = pipeline.stage2_march(s0, s1, pcfg, endpoint, res.specials)
     cps = pipeline.stage3_densify(s0, s1, pcfg, cps)
+    from masa_tpu.ops import myers_miller as mm
+
+    cps = mm.stage4_reduce(s0, s1, cps, params, 16,
+                           stage5_max_cells=pcfg.max_cells_stage5)
     aln = pipeline.stage5_emit(s0, s1, pcfg, cps)
     stage6.recheck(aln, s0, s1, params)
     ok2 = aln.raw_score == ref.best
