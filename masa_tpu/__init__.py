@@ -16,7 +16,7 @@ from masa_tpu.types import AlignmentStart, Recurrence, ScoreParams
 
 __all__ = ["align", "AlignmentStart", "Recurrence", "ScoreParams"]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def align(seq0, seq1, *, alignment_start="*", alignment_end=None,

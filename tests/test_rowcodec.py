@@ -122,3 +122,24 @@ def test_sra_reads_legacy_msr1(tmp_path):
     h2, f2 = sra.read_row(str(d), 7)
     np.testing.assert_array_equal(h, h2)
     np.testing.assert_array_equal(f, f2)
+
+
+def test_vlc_wire_format_pinned():
+    """The vlc payload is zigzag+LEB128 regardless of which encoder branch
+    ran: small deltas are exactly one byte each (the fast path emits the
+    same stream the general path used to), and a handcrafted multi-byte
+    stream decodes."""
+    from masa_tpu.io.rowcodec import _dec_vlc, _enc_vlc
+
+    small = np.array([0, 1, -1, 3, -7, 63, -64], np.int64)
+    b = _enc_vlc(small)
+    assert b.dtype == np.uint8 and len(b) == len(small)
+    zig = (small << 1) ^ (small >> 63)
+    np.testing.assert_array_equal(b.astype(np.int64), zig)
+    np.testing.assert_array_equal(_dec_vlc(b, len(small)), small)
+
+    mixed = np.array([5, 300, -2, -INF, 0, INF], np.int64)
+    b2 = _enc_vlc(mixed)
+    # 300 zigzags to 600 -> 2 bytes; INF (999999999) -> 5 bytes
+    assert len(b2) > len(mixed)
+    np.testing.assert_array_equal(_dec_vlc(b2, len(mixed)), mixed)
