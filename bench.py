@@ -73,6 +73,7 @@ def _wait_for_backend(patience_s):
 
 def main():
     patience = float(os.environ.get("MASA_BENCH_PATIENCE", "2700"))
+    deadline = time.time() + patience
     backend_ok = _wait_for_backend(patience)
 
     import jax
@@ -111,10 +112,30 @@ def main():
 
     # warm-up (compile) on a single strip
     warm_rows = min(cfg.rows, m)
-    strips.run_partition(
-        cfg, s0[:warm_rows], s1, params,
-        InitType.WITH_ZEROES, InitType.WITH_ZEROES, backend=backend,
-    )
+
+    def one_strip():
+        t0 = time.time()
+        strips.run_partition(
+            cfg, s0[:warm_rows], s1, params,
+            InitType.WITH_ZEROES, InitType.WITH_ZEROES, backend=backend,
+        )
+        return warm_rows * n / (time.time() - t0) / 1e9
+
+    one_strip()
+    if on_tpu:
+        # the shared chip has hours-long 30-80x degradation windows: a
+        # record taken inside one misrepresents the engine.  Wait (within
+        # the same patience budget the backend probe used) for a healthy
+        # window before timing; accept whatever is left when patience
+        # runs out (a mediocre record beats no record).
+        while True:
+            g = one_strip()
+            if g > 100 or time.time() >= deadline:
+                break
+            print(f"# degraded window ({g:.1f} GCUPS probe); waiting "
+                  f"({int(deadline - time.time())}s of patience left)",
+                  file=sys.stderr, flush=True)
+            time.sleep(min(270, max(1, deadline - time.time())))
 
     # best of 2: the tunneled chip's run-to-run variance is ~15-30%
     dt = None
