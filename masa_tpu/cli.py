@@ -260,7 +260,9 @@ def main(argv=None) -> int:
             auto_urls, pipelined_traceback, run_part_stage1, split_points,
         )
         from masa_tpu.stages import pipeline as _pl
-        from masa_tpu.stages.core import adaptive_config, default_backend
+        from masa_tpu.stages.core import (
+            adaptive_config, default_backend, stage1_config,
+        )
 
         # strips-layer backends are scan/pallas; 'numpy' has no streamed-
         # border path, so it degrades to the scan twin with a warning
@@ -273,7 +275,10 @@ def main(argv=None) -> int:
         points = split_points(len(seq1), split_weights)
         urls = auto_urls(jcfg.work_dir, len(split_weights))
         score_only = args.stage_1 or args.no_flush
-        kcfg = adaptive_config(len(seq0))
+        # a traceback follows unless score-only: pick the rung by total
+        # pipeline cost (special-row spacing), not forward GCUPS
+        kcfg = (adaptive_config(len(seq0)) if score_only
+                else stage1_config(len(seq0), len(seq1), job.sra_limit()))
         iv = 0
         if not score_only:
             iv = job.calculate_flush_intervals(

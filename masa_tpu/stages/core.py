@@ -335,13 +335,34 @@ _KERNEL_GCUPS = 150e9
 _SCAN_GCUPS = 3e9
 _DISPATCH_S = 0.02
 
+# Per-rung sustained rates.  The R=131072 rung is measured (README
+# roofline, 150-162 GCUPS); the others are extrapolations from the op
+# mix (same rs=32 lane width for R=32768, quarter-width lanes for
+# R=4096) pending an on-chip sweep — override after measuring with
+# MASA_TPU_RUNG_GCUPS="4096:45,32768:140,131072:150".
+_RUNG_GCUPS = {4096: 45e9, 32768: 140e9, 131072: 150e9}
+
+
+def _rung_rate(cfg: wf.WavefrontConfig) -> float:
+    import os
+
+    spec = os.environ.get("MASA_TPU_RUNG_GCUPS")
+    if spec:
+        for part in spec.split(","):
+            r, _, g = part.partition(":")
+            if r.strip() and int(r) == cfg.rows and g:
+                return float(g) * 1e9
+    return _RUNG_GCUPS.get(cfg.rows, _KERNEL_GCUPS)
+
 
 def partition_config(rows: int, width: int) -> wf.WavefrontConfig:
     """Cost-aware ladder choice for a one-off partition of known size:
     full strips run fused Mosaic, the `rows % R` tail runs the slow scan
     twin — so for heights NOT aligned to a big rung (every stage-2 hop
     from an arbitrary endpoint), a smaller rung with a small tail beats
-    the big rung with a 32K-row scan tail by seconds."""
+    the big rung with a 32K-row scan tail by seconds.  Rungs taller than
+    the partition are naturally priced out by their all-scan cost (the
+    compile keys of viable rungs persist in the kernel cache)."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -349,15 +370,60 @@ def partition_config(rows: int, width: int) -> wf.WavefrontConfig:
     w = max(width, 1)
     best, best_cost = None, None
     for cfg in _TPU_LADDER:
-        if cfg.rows * 2 > rows and cfg is not _TPU_LADDER[0]:
-            # keep adaptive_config's rung set: a taller one-strip rung
-            # would save ~one dispatch but introduce a NEW Mosaic
-            # compile key (minutes remote, ~15 s per fresh process)
-            continue
         full = rows // cfg.rows
         rem = rows % cfg.rows
-        cost = (full * (cfg.rows * w / _KERNEL_GCUPS + _DISPATCH_S)
+        cost = (full * (cfg.rows * w / _rung_rate(cfg) + _DISPATCH_S)
                 + rem * w / _SCAN_GCUPS)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = cfg, cost
+    return best
+
+
+# stage-2 per-hop fixed cost (device goal match + scalar verdict pull +
+# host bookkeeping) and the batched stage-4 engine's sustained rate
+# (from the [level] traces of 1M runs: top levels ~13 GCUPS)
+_HOP_SYNC_S = 0.06
+_MM_GCUPS = 13e9
+
+
+def stage1_config(m: int, n: int, sra_limit: int = 17 << 30,
+                  padded_tail: bool = True) -> wf.WavefrontConfig:
+    """Stage-1 rung choice for a run that will be TRACED BACK.
+
+    Special rows flush at strip boundaries only, so the stage-1 rung
+    sets the special-row spacing — and with it the entire traceback's
+    cost structure: stage-2 hops are `spacing` tall with ~2*spacing
+    windows, and stage 4 inherits `spacing`-tall partitions that its
+    batched engine grinds at ~1/10 the strip kernel's rate.  The
+    biggest rung maximizes stage-1 GCUPS but at 1M leaves 8 special
+    rows and a stage 4 that re-computes a third of the matrix; the
+    model below (measured constants above) picks the total-time
+    minimizer — R=32768 for 1M/5M-class runs.  The reference's ladder
+    faces no such coupling because its kernel flushes any row
+    (sw_stage1.cpp:168-196); ours buys the fused-strip rate with
+    boundary-only flushes, so the rung choice is where the trade
+    lands."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return adaptive_config(m)
+    best, best_cost = None, None
+    for cfg in _TPU_LADDER:
+        R = cfg.rows
+        rate = _rung_rate(cfg)
+        iv = m * n * 8 // max(sra_limit, 1) + 1
+        spacing = max(-(-iv // R) * R, R)
+        hops = max(m // spacing, 1)
+        s1 = m * n / rate + (m / R) * _DISPATCH_S
+        rem = m % R
+        if rem:
+            # SW-anywhere runs pad the tail strip with sentinel rows
+            # (full rate); pinned-border runs drop to the scan twin
+            s1 += ((R - rem) * n / rate if padded_tail
+                   else rem * n / _SCAN_GCUPS)
+        s2 = hops * _HOP_SYNC_S + 2.0 * m * spacing / rate
+        s4 = 2.0 * m * spacing / _MM_GCUPS
+        cost = s1 + s2 + s4
         if best_cost is None or cost < best_cost:
             best, best_cost = cfg, cost
     return best

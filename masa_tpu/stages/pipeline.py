@@ -131,7 +131,10 @@ def stage1_pass(
     row_init, col_init = _mode_inits(pcfg.alignment_start)
     rec = _recurrence(pcfg.alignment_start)
     end = _effective_end(pcfg)
-    kcfg = pcfg.kernel_cfg or core.default_config()
+    kcfg = pcfg.kernel_cfg or core.stage1_config(
+        m, n, 1 << 30,
+        padded_tail=(rec == Recurrence.SMITH_WATERMAN
+                     and end == AlignmentStart.ANYWHERE))
     iv = pcfg.flush_interval or auto_flush_interval(m, n, kcfg)
     dev_cache = core.DevRowCache()
     res = core.forward_pass(

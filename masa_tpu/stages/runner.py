@@ -122,7 +122,15 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     t0 = time.time()
     m, n = len(seq0), len(seq1)
     pcfg = _pcfg(job, kernel_cfg)
-    kcfg = kernel_cfg or core.adaptive_config(m)
+    end = pipeline._effective_end(pcfg)
+    rec0 = pipeline._recurrence(pcfg.alignment_start)
+    # rung choice sets the special-row spacing and with it the whole
+    # traceback's cost shape (stage1_config docstring) — not just the
+    # forward GCUPS
+    kcfg = kernel_cfg or core.stage1_config(
+        m, n, job.sra_limit(),
+        padded_tail=(rec0 == Recurrence.SMITH_WATERMAN
+                     and end == AlignmentStart.ANYWHERE))
     ivs = job.calculate_flush_intervals(m, n, align_to=kcfg.rows)
     cpf = job.crosspoints_file(STAGE_1, 0)
 
@@ -227,7 +235,7 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
             first_row=first_row, first_col=first_col,
             special_every=ivs[0], store=store,
             dev_cache=job.runtime_dev_rows,
-            backend=job.cfg.backend, cfg=kernel_cfg,
+            backend=job.cfg.backend, cfg=kcfg,
             prune=job.cfg.block_pruning,
             # endpoint selection from the last row/column needs real
             # (unpadded) final rows

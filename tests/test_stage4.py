@@ -151,19 +151,19 @@ def test_partition_config_rung_cost_model(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
-    # heights aligned to a rung take the biggest ELIGIBLE rung (a rung
-    # needs >= 2 full strips unless it's the smallest — one-strip
-    # coverage by a taller rung would mint a new Mosaic compile key
-    # for ~one saved dispatch)
+    # heights aligned to a rung take the cheapest covering rung; one
+    # full big-rung strip beats several smaller strips' dispatches
     assert core.partition_config(262144, 1 << 20).rows == 131072
-    assert core.partition_config(131072, 1 << 20).rows == 32768  # tail 0
+    assert core.partition_config(131072, 1 << 20).rows == 131072
     assert core.partition_config(65536, 1 << 20).rows == 32768
 
-    # a big rung plus a small remainder: the tail dominates at scan
-    # speed, so a smaller rung whose tail is tiny must win
-    cfg = core.partition_config(131072 + 300, 1 << 20)
-    assert cfg.rows < 131072
-    tail = (131072 + 300) % cfg.rows
+    # a tiny remainder over a full strip stays on the big rung (the
+    # 300-row scan tail costs ~0.1 s, less than re-stripping); a rung
+    # whose use would leave a BIG scan tail is priced out
+    assert core.partition_config(131072 + 300, 1 << 20).rows == 131072
+    cfg = core.partition_config(65536 + 300, 1 << 20)
+    assert cfg.rows == 32768
+    tail = (65536 + 300) % cfg.rows
     assert tail * (1 << 20) / core._SCAN_GCUPS < 2.0  # seconds, small
 
     # tiny hops: the smallest rung
@@ -172,3 +172,38 @@ def test_partition_config_rung_cost_model(monkeypatch):
     # off-TPU the chooser defers to the CPU ladder
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert core.partition_config(131072, 1 << 20) is core._CPU_LADDER[0]
+
+
+def test_stage1_config_traceback_aware(monkeypatch):
+    """Stage-1 rung choice must minimize the WHOLE pipeline, not the
+    forward GCUPS: special rows flush at strip boundaries only, so the
+    tallest rung (R=131072) leaves a 1M run just 8 special rows — and a
+    stage 4 that re-computes ~a third of the matrix at the batched
+    engine's ~13 GCUPS (measured: 20-30 s of a 50 s warm run).  The
+    mid rung's 32 rows cost ~1 s of stage 1 and save ~15 s of
+    traceback."""
+    import jax
+
+    from masa_tpu.stages import core
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    m = n = 1 << 20
+    cfg = core.stage1_config(m, n, 17 << 30)
+    assert cfg.rows == 32768
+
+    # 5M-class: same trade, same winner
+    assert core.stage1_config(5_000_000, 5_000_000, 17 << 30).rows == 32768
+
+    # when the SRA budget itself forces sparse rows (23M-class), the
+    # spacing is budget-bound whatever the rung; the chooser must still
+    # return a ladder rung and respect the budget floor
+    cfg = core.stage1_config(23_000_000, 25_000_000, 17 << 30)
+    iv = 23_000_000 * 25_000_000 * 8 // (17 << 30) + 1
+    assert cfg in core._TPU_LADDER
+    spacing = -(-iv // cfg.rows) * cfg.rows
+    assert spacing >= iv
+
+    # off-TPU: the CPU ladder via adaptive_config
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert core.stage1_config(m, n) is core._CPU_LADDER[0]
