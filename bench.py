@@ -151,7 +151,7 @@ def main():
     gcups = res.cells / dt / 1e9
 
     # ---- full six-stage alignment (stages 1-6 wall clock) --------------
-    full_s = full_gcups = full_score = stage_s = None
+    full_s = full_gcups = full_score = stage_s = full_error = None
     run_full = os.environ.get("MASA_BENCH_FULL", "1") != "0"
     if on_tpu and gcups < 20:
         # shared chip degraded (memory: throughput drops 3-5x for hours);
@@ -174,6 +174,7 @@ def main():
         # steady-state too) — the cold time is kept in detail
         full_cold = None
         stage_s = None
+        full_error = None
         for attempt in range(2 if on_tpu else 1):
             wd = tempfile.mkdtemp(prefix="masa_bench_")
             try:
@@ -204,9 +205,17 @@ def main():
                     stage_s = {nm: round(tb - ta, 2) for nm, ta, tb in
                                zip(names, marks, marks[1:])}
                 full_score = aln.raw_score
+            except Exception as e:  # noqa: BLE001 — the stage-1 metric
+                # must still print one JSON line even if a traceback
+                # stage dies mid-run (chip outage, OOM)
+                full_error = repr(e)[:300]
+                print(f"# full-alignment attempt failed: {full_error}",
+                      file=sys.stderr, flush=True)
+                break
             finally:
                 shutil.rmtree(wd, ignore_errors=True)
-        full_gcups = fm * len(h1) / full_s / 1e9
+        full_gcups = (fm * len(h1) / full_s / 1e9
+                      if full_s is not None else None)
 
     print(json.dumps({
         "metric": "stage1_sw_gcups_1chip",
@@ -228,6 +237,7 @@ def main():
             "full_vs_baseline_s": (round(BASELINE_FULL_S / full_s, 3)
                                    if full_s is not None else None),
             "full_stage_s": stage_s,
+            "full_error": full_error,
         },
     }))
 
