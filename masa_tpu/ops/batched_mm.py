@@ -108,9 +108,16 @@ class _DevSeqs:
         self.s0r = wf.dev_seq(seq0, wf.A_SENTINEL, pad0, reverse=True)
         self.s1f = wf.dev_seq(seq1, wf.B_SENTINEL, pad1)
         self.s1r = wf.dev_seq(seq1, wf.B_SENTINEL, pad1, reverse=True)
+        # host twins (zero-copy views) for the per-half strip engine,
+        # which drives strips.run_partition per half
+        self._h0 = (seq0, seq0[::-1])
+        self._h1 = (seq1, seq1[::-1])
 
     def views(self, rev: bool):
         return (self.s0r, self.s1r) if rev else (self.s0f, self.s1f)
+
+    def host_views(self, rev: bool):
+        return (self._h0[rev], self._h1[rev])
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +369,63 @@ _DYN_H_MAX = 256
 _MOSAIC_NJQ_MIN = 8192
 
 
+# Per-half strip chains: a TALL half is the same workload as a stage-1
+# partition, and the fused strip kernel sustains ~10x the batched dyn
+# kernel's rate on it (the (B, chunks)-grid serializes elements; async
+# per-half dispatches pipeline — the round-2 measurement that killed
+# the grouped grid for stage-1 strips, see SNIPPETS/memory notes).
+# Only levels with FEW tall halves route here: per-half dispatch
+# overhead (~20 ms each, ~ceil(h/R) per half) caps the breadth.
+_STRIPS_H_MIN = 32768
+_STRIPS_B_MAX = 256
+
+
+def _halves_strips(dev: _DevSeqs, halves: list[_Half], rev: bool,
+                   params: ScoreParams, njq: int, backend: str = "pallas"):
+    """Each half through strips.run_partition on the device-resident
+    sequence views (stage-1's data path: on-device slicing, synthesized
+    borders, zero per-strip host traffic).  All halves dispatch
+    asynchronously; nothing here syncs — the level's single pull stays
+    in _run_match.  Returns device (B, njq) logical last-row buses."""
+    from masa_tpu.stages.core import partition_config
+    from masa_tpu.ops import strips as _strips
+
+    s0d, s1d = dev.views(rev)
+    s0h, s1h = dev.host_views(rev)
+    on_tpu = jax.default_backend() == "tpu"
+    outs_h, outs_f = [], []
+    t0 = _time.time()
+    for x in halves:
+        w1 = max(x.w, 1)    # w == 0 (pure-gap pair): one sentinel-masked
+        #                     column; every k >= 1 is masked in the match
+        base = (partition_config(x.h, w1) if on_tpu
+                else wf.WavefrontConfig(alpha=4, rs=1, chunk=512))
+        cfg = dataclasses.replace(
+            base, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+            track_best=False, store_lastcol=False,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_ext=params.gap_ext)
+        res = _strips.run_partition(
+            cfg, s0h[x.i0 : x.i0 + x.h], s1h[x.j0 : x.j0 + w1], params,
+            _code_inv(x.row_code), _code_inv(x.col_code),
+            backend=backend if on_tpu else "scan",
+            want_last_row=False, want_dev_last=True,
+            dev_slices=(s0d, x.i0, s1d, x.j0),
+        )
+        bh, bf = res.dev_last
+        if bh.shape[0] < njq:
+            fill = jnp.full(njq - bh.shape[0], NEG, jnp.int32)
+            bh = jnp.concatenate([bh, fill])
+            bf = jnp.concatenate([bf, fill])
+        outs_h.append(bh[:njq])
+        outs_f.append(bf[:njq])
+    if _TRACE:
+        hs = sorted({x.h for x in halves})
+        print(f"    [strips B={len(halves)} h={hs[0]}..{hs[-1]} "
+              f"njq={njq} dispatch={_time.time()-t0:.2f}", flush=True)
+    return jnp.stack(outs_h), jnp.stack(outs_f)
+
+
 # Fixed batch tile: every Mosaic/prep/match dispatch pads to at most
 # this many elements, so the compile-key set (and the per-level XLA
 # retrace variety) stays CONSTANT across levels instead of growing with
@@ -377,6 +441,11 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
     wins.  CPU: dyn."""
     B = len(halves)
     h_max = max(x.h for x in halves)
+    if (jax.default_backend() == "tpu" and h_max >= _STRIPS_H_MIN
+            and B <= _STRIPS_B_MAX and njq > _MOSAIC_NJQ_MIN):
+        # tall halves: per-half fused strip chains at the strip
+        # kernel's rate (~10x the batched dyn kernel on these shapes)
+        return _halves_strips(dev, halves, rev, params, njq)
     if (jax.default_backend() == "tpu" and h_max > _DYN_H_MAX
             and njq > _MOSAIC_NJQ_MIN):
         # wide levels: the dynamic-height Mosaic kernel takes a tile's

@@ -422,7 +422,13 @@ def stage1_config(m: int, n: int, sra_limit: int = 17 << 30,
             s1 += ((R - rem) * n / rate if padded_tail
                    else rem * n / _SCAN_GCUPS)
         s2 = hops * _HOP_SYNC_S + 2.0 * m * spacing / rate
-        s4 = 2.0 * m * spacing / _MM_GCUPS
+        # stage 4: levels whose halves are >= 32768 tall run per-half
+        # strip chains at the kernel's rate (batched_mm._halves_strips);
+        # the remaining levels (halves < 32768 -> pair spans < 65536)
+        # grind at the batched engine's rate
+        slow_span = min(spacing, 65536)
+        s4 = (2.0 * m * slow_span / _MM_GCUPS
+              + 2.0 * m * max(spacing - slow_span, 0) / rate)
         cost = s1 + s2 + s4
         if best_cost is None or cost < best_cost:
             best, best_cost = cfg, cost

@@ -140,6 +140,36 @@ def test_mosaic_tail_chains_beyond_sweep_rung(monkeypatch):
     np.testing.assert_array_equal(np.asarray(mf), np.asarray(sf)[:, :njq])
 
 
+def test_halves_strips_engine_parity():
+    """The per-half strip engine (tall stage-4 halves at the strip
+    kernel's rate) must return bus-exact results vs the row-sweep
+    ground truth — including reverse halves, pinned-gap borders, a
+    width-0 (pure-gap) half, and buses narrower than the level njq."""
+    from masa_tpu.ops import batched_mm as bmm
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    s0 = rng.choice(bases, 900).astype(np.uint8)
+    s1 = rng.choice(bases, 800).astype(np.uint8)
+    njq = 1024
+    dev = bmm._DevSeqs(s0, s1, pad0=4096, pad1=njq + 4096)
+    halves = [bmm._Half(0, 300, 0, 750, 1, 1),
+              bmm._Half(100, 290, 30, 700, 0, 2),
+              bmm._Half(40, 128, 200, 64, 2, 0),
+              bmm._Half(10, 64, 500, 0, 1, 2)]   # w = 0: pure-gap pair
+    for rev in (False, True):
+        th, tf = bmm._halves_strips(dev, halves, rev, P, njq)
+        sh, sf = bmm._halves_sweep(dev, halves, rev, P, njq)
+        for k, x in enumerate(halves):
+            w = x.w
+            np.testing.assert_array_equal(
+                np.asarray(th)[k, :w], np.asarray(sh)[k, :w],
+                err_msg=f"half {k} rev={rev} H")
+            np.testing.assert_array_equal(
+                np.asarray(tf)[k, :w], np.asarray(sf)[k, :w],
+                err_msg=f"half {k} rev={rev} F")
+
+
 def test_partition_config_rung_cost_model(monkeypatch):
     """The stage-2 hop rung chooser: full strips run fused Mosaic, the
     rows % R tail runs the slow scan twin — so arbitrary hop heights
