@@ -179,8 +179,11 @@ class SpecialRowsPartition:
         disk_frac = ((disk_used + nbytes) / self.disk_limit
                      if self.disk_limit else 2.0)
         if ram_fits and (ram_frac <= disk_frac or not disk_fits):
-            self._ram[r] = (np.asarray(h, np.int64),
-                            np.asarray(f, np.int64))
+            # int32 pairs: 8 bytes/cell, the footprint the flush-ladder
+            # formula (m*n*8/limit) and `nbytes` charge for — the kernel
+            # computes in int32, so scores always fit
+            self._ram[r] = (np.asarray(h, np.int32),
+                            np.asarray(f, np.int32))
             self._ram_bytes += nbytes
         elif disk_fits:
             self._disk_bytes += write_row(self.dir, r, h, f, self.codec)
@@ -232,9 +235,11 @@ class SpecialRowsPartition:
         if r in self._ram:
             v = self._ram[r]
             if not isinstance(v, tuple):
-                v = v.full_rows()
-                self._ram[r] = v
-            return v
+                h64, f64 = v.full_rows()
+                self._ram[r] = (h64.astype(np.int32),
+                                f64.astype(np.int32))
+                return h64, f64
+            return v[0].astype(np.int64), v[1].astype(np.int64)
         for rp, lazy in self._pending:
             if rp == r:
                 return lazy.full_rows()
