@@ -177,10 +177,18 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
         # resumed run's flags
         saved_col = (InitType(part.col_init)
                      if part.col_init is not None else col_init)
-        ch, cg = border_cells(m + 1, saved_col, job.cfg.params)
-        first_col = (ch[r0:], cg[r0:])
         row_init = InitType.CUSTOM
-        col_init_eff = InitType.CUSTOM
+        if saved_col == InitType.WITH_ZEROES:
+            # zero borders are offset-invariant: the sub-partition from
+            # r0 synthesizes them, keeping the device-sliced fast path
+            # (a CUSTOM column forces the host data path for the WHOLE
+            # resumed stage 1 — at 23M that is the difference between a
+            # resumed run and a crippled one)
+            col_init_eff = saved_col
+        else:
+            ch, cg = border_cells(m + 1, saved_col, job.cfg.params)
+            first_col = (ch[r0:], cg[r0:])
+            col_init_eff = InitType.CUSTOM
     else:
         col_init_eff = col_init
 
