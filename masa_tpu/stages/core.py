@@ -106,8 +106,11 @@ class DevRowCache:
         import os
 
         if budget_bytes is None:
+            # v5e HBM is 16 GB; 8 GB of row snapshots keeps every hop of
+            # a 5M-class run (152 rows x ~42 MB) matching on-device while
+            # leaving the kernel working set ample headroom
             budget_bytes = int(os.environ.get(
-                "MASA_TPU_DEV_ROWS_MB", "4096")) << 20
+                "MASA_TPU_DEV_ROWS_MB", "8192")) << 20
         self.budget = budget_bytes
         self._rows: dict[int, tuple] = {}     # r -> (dev_h, dev_f)
         self._borders: dict[int, tuple] = {}  # r -> (h0, f0)
