@@ -129,6 +129,11 @@ def main():
     # ---- 4: roofline ----------------------------------------------------
     _sub("roofline.py", [sys.executable, os.path.join(here, "roofline.py")],
          timeout=1800, env_extra={"MASA_TPU_STAGE4_TRACE": ""})
+
+    # ---- 5: stage-4 engine rates ----------------------------------------
+    _sub("engine_rates.py",
+         [sys.executable, os.path.join(here, "engine_rates.py")],
+         timeout=1800, env_extra={"MASA_TPU_STAGE4_TRACE": ""})
     return 0
 
 
