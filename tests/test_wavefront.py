@@ -82,6 +82,23 @@ class TestScanVsOracle:
         check_partition(s0, s1, CFG, Recurrence.SMITH_WATERMAN,
                         InitType.WITH_ZEROES, InitType.WITH_ZEROES)
 
+    def test_mid_rung_shape_parity(self, dna, homolog):
+        """The production TPU mid rung's (alpha=8, rs=32) lane packing
+        through the scan twin: stage1_config now routes 1M/5M-class
+        stage-1 runs to this rung, so its packing/shift math gets a
+        direct oracle check (the Mosaic body is the same _make_step)."""
+        import dataclasses
+
+        s0 = dna(800, seed=61)
+        s1 = homolog(s0, seed=62)
+        cfg = dataclasses.replace(
+            WavefrontConfig(alpha=8, rs=32, chunk=8192),
+            track_best=True, store_lastcol=False)
+        check_partition(s0, s1, cfg, Recurrence.SMITH_WATERMAN,
+                        InitType.WITH_ZEROES, InitType.WITH_ZEROES)
+        check_partition(s0, s1, cfg, Recurrence.NEEDLEMAN_WUNSCH,
+                        InitType.WITH_GAPS, InitType.WITH_GAPS)
+
     def test_custom_borders_glue(self, dna, homolog):
         """Kernel-computed bottom band glued onto an oracle top band must
         equal the monolithic oracle (the stage/multichip contract)."""
