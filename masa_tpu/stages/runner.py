@@ -493,9 +493,16 @@ def stage5(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     pcfg = _pcfg(job)
     src = STAGE_4 if job.cfg.stage4_max_partition else STAGE_3
     cps = job.crosspoints_file(src, aln_id).load()
+    t1 = time.time()
     aln = pipeline.stage5_emit(seq0, seq1, pcfg, cps, sequences)
+    t2 = time.time()
     balign.write_cgff(job.path(f"alignment.{aln_id:02d}.cgff"), aln)
     job.status.update(stage=STAGE_5)
+    import os as _os
+
+    if _os.environ.get("MASA_TPU_STAGE2_TRACE"):
+        log(f"    [stage5] load={t1-t0:.2f} emit={t2-t1:.2f} "
+            f"cgff={time.time()-t2:.2f} parts={len(cps)-1}")
     log(f"stage5: score={aln.raw_score} verified in {time.time()-t0:.2f}s")
     return aln
 
