@@ -26,6 +26,13 @@ SIZES = {"1M": 1 << 20, "3M": 3 << 20, "5M": 5 << 20, "8M": 1 << 23,
 
 
 def main():
+    import os as _os
+
+    if _os.path.exists("/tmp/masa_stop_chains"):
+        # kill switch: the driver's round-end bench must own the chip;
+        # exiting 0 ends the retry wrapper cleanly
+        print("stop sentinel present; exiting", flush=True)
+        return 0
     size = sys.argv[1] if len(sys.argv) > 1 else "5M"
     m = SIZES[size]
     n_target = (25 << 20) if size == "23M" else m  # 23M pairs with 25M

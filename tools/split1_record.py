@@ -23,6 +23,13 @@ import numpy as np
 
 
 def main():
+    import os as _os
+
+    if _os.path.exists("/tmp/masa_stop_chains"):
+        # kill switch: the driver's round-end bench must own the chip;
+        # exiting 0 ends the retry wrapper cleanly
+        print("stop sentinel present; exiting", flush=True)
+        return 0
     from masa_tpu.utils.devices import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
