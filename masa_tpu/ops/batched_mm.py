@@ -374,10 +374,23 @@ _MOSAIC_NJQ_MIN = 8192
 # kernel's rate on it (the (B, chunks)-grid serializes elements; async
 # per-half dispatches pipeline — the round-2 measurement that killed
 # the grouped grid for stage-1 strips, see SNIPPETS/memory notes).
-# Only levels with FEW tall halves route here: per-half dispatch
-# overhead (~20 ms each, ~ceil(h/R) per half) caps the breadth.
+# Halves below one full mid-rung strip never route here (they would
+# chain several small-rung dispatches each); above it, a modeled
+# dispatch-vs-rate comparison decides per level.
 _STRIPS_H_MIN = 32768
-_STRIPS_B_MAX = 256
+_STRIPS_GCUPS = 140e9   # per-half fused chains (stage-1 rate class)
+_MOSAIC_GCUPS = 13e9    # measured level-trace rate of the dyn kernel
+_DISPATCH_S = 0.02
+
+
+def _strips_beats_mosaic(halves: list[_Half]) -> bool:
+    vol = sum(x.h * max(x.w, 1) for x in halves)
+    n_disp = sum(-(-x.h // _STRIPS_H_MIN) for x in halves)
+    strips_cost = n_disp * _DISPATCH_S + vol / _STRIPS_GCUPS
+    h_max = max(x.h for x in halves)
+    mosaic_cost = (vol / _MOSAIC_GCUPS
+                   + -(-h_max // _STRIPS_H_MIN) * _DISPATCH_S)
+    return strips_cost < mosaic_cost
 
 
 def _halves_strips(dev: _DevSeqs, halves: list[_Half], rev: bool,
@@ -442,7 +455,7 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
     B = len(halves)
     h_max = max(x.h for x in halves)
     if (jax.default_backend() == "tpu" and h_max >= _STRIPS_H_MIN
-            and B <= _STRIPS_B_MAX and njq > _MOSAIC_NJQ_MIN):
+            and njq > _MOSAIC_NJQ_MIN and _strips_beats_mosaic(halves)):
         # tall halves: per-half fused strip chains at the strip
         # kernel's rate (~10x the batched dyn kernel on these shapes)
         return _halves_strips(dev, halves, rev, params, njq)
