@@ -1085,6 +1085,68 @@ def goal_match_device(cut_h, cut_f, rev_h, rev_f, cj, goal, rev0h, rev0f,
                       jnp.where(is_hit, score, 0)]).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "W"))
+def hop_step_device(cfg: WavefrontConfig, s0r, s1r, cut_h, cut_f,
+                    m_minus_ci, n, cj, score, typ, ok, W: int):
+    """One STEADY stage-2 hop fully on device: the reverse strip (one
+    full cfg.rows-tall strip over a fixed W-wide window of the reversed
+    sequence views), the pinned-state border synthesis from the
+    crosspoint type, and the goal match against the device-resident cut
+    — chained hops pass (cj, score, typ) as device scalars, so a whole
+    segment of the stage-2 march runs with ONE verdict pull instead of
+    one per hop (the reference's per-row findGoalCell loop,
+    stage2/sw_stage2.cpp:237, is a host loop; over a remote chip each
+    hop's scalar pull is a full round trip).
+
+    Exact-equivalence contract with stages.core.reverse_pass_and_match:
+    callers may chain only hops where the host path would pick this
+    exact window — hb == cfg.rows, width == W == min(cp.j,
+    max(4096, 2*hb)) pow2-quantized, j_low = cj - W >= 1, dev cut
+    available, goal_anywhere false (see reverse_march's segment
+    bounds).  On any non-match (window miss or overshoot), `ok` drops
+    to 0 and the pulled segment is replayed from the failure by the
+    host path, which owns widening/error semantics.
+
+    cj/score/typ/ok: int32 scalars (typ = CrosspointType).  Returns
+    (cj', score', typ', ok').  When ok' == 0 the outputs carry the
+    inputs through unchanged.
+    """
+    go, ge = cfg.gap_open, cfg.gap_ext
+    hb = cfg.rows
+    # pinned-state borders (stages.core.init_types_for): row GAPS_OPENED
+    # only for GAP_1, col GAPS_OPENED only for GAP_2, GAPS otherwise
+    row_code = jnp.where(typ == 1, jnp.int32(2), jnp.int32(1))
+    col_code = jnp.where(typ == 2, jnp.int32(2), jnp.int32(1))
+    goal = score + jnp.where(typ != 0, jnp.int32(go), jnp.int32(0))
+
+    plen = padded_len(cfg, W)
+    bh0, bf0 = init_bus_synth(cfg, row_code, jnp.int32(W), plen)
+    i0_abs = m_minus_ci
+    j0_abs = n - cj
+    a, ih, ie, corner, b = _sliced_prep(
+        cfg, s0r, s1r, i0_abs, j0_abs, jnp.int32(0), col_code, W,
+        jnp.int32(W))
+    bh, bf, _ = _strip_step_body(
+        cfg, a, ih, ie, corner, b, bh0, bf0,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0)), 0, W, False)
+
+    rev0h = border_h_traced(col_code, jnp.int32(hb), go, ge)
+    rev0f = jnp.where(col_code == 2, jnp.int32(-hb * ge),
+                      jnp.int32(-go - hb * ge))
+    res = goal_match_device(cut_h, cut_f, bh, bf, cj, goal, rev0h,
+                            rev0f, W1=W + 1, go=go)
+    status, k, mscore = res[0], res[1], res[2]
+    found = (status == 0) | (status == 1)
+    ok2 = ok & found.astype(jnp.int32)
+    live = ok2 == 1
+    cj2 = jnp.where(live, cj - k, cj)
+    score2 = jnp.where(live, mscore, score)
+    typ2 = jnp.where(live, jnp.where(status == 0, jnp.int32(0),
+                                     jnp.int32(2)), typ)
+    return (cj2.astype(jnp.int32), score2.astype(jnp.int32),
+            typ2.astype(jnp.int32), ok2.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "nj", "h_true", "B"))
 def batched_strip_pallas(cfg: WavefrontConfig, a_all, b_all, bus_h_all,
                          bus_f_all, ih_all, ie_all, corners,

@@ -650,6 +650,109 @@ def _border_f_value(col_init: InitType, i: int, params: ScoreParams) -> int:
     return -params.gap_open - i * params.gap_ext
 
 
+def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
+                   specials, dev_cache, sw_anywhere: bool, rev_seqs,
+                   cps: list, on_crosspoint, trace: bool):
+    """Chain a steady segment of the stage-2 march on device
+    (wf.hop_step_device): consecutive hops of IDENTICAL height equal to
+    a ladder rung, fixed window W = max(4096, 2*hb), each cut resident
+    in the DevRowCache — exactly the window the host path would pick,
+    so the produced crosspoints are byte-identical.  One verdict pull
+    per segment replaces one per hop.
+
+    Host-side safety bounds keep semantics exact without mid-chain
+    pulls: crosspoint scores are non-increasing backward (every prefix
+    and suffix of the optimal alignment contributes >= 0) and each hop
+    moves the column by at most W, so the segment length K guarantees
+    (a) j_low = cj - W >= 1 for every chained hop (the j=0 edge cases
+    keep the host path) and (b) when sw_anywhere, goal_reachable stays
+    False for every chained hop (score_k >= score_0 - k*hb*match).
+    Returns the new march crosspoint, or None when no segment applies
+    (caller falls through to the per-hop host path, which owns
+    widening, SW start search and error semantics)."""
+    import time as _time
+
+    import jax as _jax
+    import jax.numpy as jnp
+
+    r1 = specials.next_below(cp.i, 1)
+    if r1 is None or r1 <= 0:
+        return None
+    hb = cp.i - r1
+    ladder = (_TPU_LADDER if _jax.default_backend() == "tpu"
+              else _CPU_LADDER)
+    base = next((c for c in ladder if c.rows == hb), None)
+    if base is None:
+        return None
+    W = max(4096, 2 * hb)
+    if W & (W - 1):
+        return None
+    # segment length bounds (see docstring); every hop needs its cut
+    # resident on device and the next gap equal to hb
+    k_cj = (cp.j - W - 1) // W
+    k_sw = ((cp.score - 1) // (hb * params.match) - 1 if sw_anywhere
+            else 1 << 30)
+    k_max = min(k_cj, k_sw)
+    rows = []
+    prev = cp.i
+    while len(rows) < k_max:
+        r = specials.next_below(prev, 1)
+        if r is None or r <= 0 or prev - r != hb:
+            break
+        if dev_cache.get(r) is None:
+            break
+        rows.append(r)
+        prev = r
+    if len(rows) < 3:
+        return None
+
+    cfg_c = dataclasses.replace(
+        base, recurrence=Recurrence.NEEDLEMAN_WUNSCH, track_best=False,
+        store_lastcol=False, match=params.match,
+        mismatch=params.mismatch, gap_open=params.gap_open,
+        gap_ext=params.gap_ext,
+        interpret=(_jax.default_backend() != "tpu"))
+    from masa_tpu.core.aligner import dev_pads
+
+    pad0, pad1 = dev_pads(len(seq1))
+    s0r = wf.dev_seq(rev_seqs[0], wf.A_SENTINEL, pad0)
+    s1r = wf.dev_seq(rev_seqs[1], wf.B_SENTINEL, pad1)
+
+    m_len, n_len = len(seq0), len(seq1)
+    t0 = _time.time()
+    cj_d = jnp.int32(cp.j)
+    sc_d = jnp.int32(cp.score)
+    ty_d = jnp.int32(int(cp.type))
+    ok_d = jnp.int32(1)
+    outs = []
+    ci = cp.i
+    for r in rows:
+        cut = dev_cache.get(r)
+        cj_d, sc_d, ty_d, ok_d = wf.hop_step_device(
+            cfg_c, s0r, s1r, cut[0], cut[1],
+            jnp.int32(m_len - ci), jnp.int32(n_len),
+            cj_d, sc_d, ty_d, ok_d, W=W)
+        outs.append(jnp.stack([cj_d, sc_d, ty_d, ok_d]))
+        ci = r
+    pulled = np.asarray(jnp.stack(outs))   # ONE transfer per segment
+    done = 0
+    for r, row in zip(rows, pulled):
+        cj_v, sc_v, ty_v, ok_v = (int(x) for x in row)
+        if not ok_v:
+            break
+        cp = Crosspoint(r, cj_v, sc_v, CrosspointType(ty_v))
+        cps.append(cp)
+        if on_crosspoint:
+            on_crosspoint(cp)
+        specials.truncate_above(cp.i)
+        dev_cache.truncate_above(cp.i)
+        done += 1
+    if trace:
+        print(f"    [chain] {done}/{len(rows)} hops hb={hb} W={W} "
+              f"t={_time.time()-t0:.2f}", flush=True)
+    return cp if done else None
+
+
 def reverse_march(
     seq0: np.ndarray,
     seq1: np.ndarray,
@@ -706,11 +809,28 @@ def reverse_march(
         else (None, None)
     )
 
+    # device hop chaining: steady aligned segments of the march run as
+    # chained fused dispatches with ONE verdict pull per segment
+    chain_on = False
+    if dev_cache is not None and min_dist == 1 and backend != "numpy":
+        import jax as _jax
+
+        chain_on = (_jax.default_backend() == "tpu"
+                    or bool(_os.environ.get("MASA_TPU_FORCE_HOP_CHAIN")))
+
     while True:
         if sw_anywhere and cp.score <= 0:
             break
         if cp.i == 0 or (cp.j == 0 and not sw_anywhere):
             break
+
+        if chain_on:
+            got = _run_hop_chain(seq0, seq1, params, cp, specials,
+                                 dev_cache, sw_anywhere, rev_seqs,
+                                 cps, on_crosspoint, _trace)
+            if got is not None:
+                cp = got
+                continue
 
         r = specials.next_below(cp.i, min_dist)
         dev_cut = None

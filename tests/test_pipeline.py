@@ -248,3 +248,49 @@ def test_nw_best_includes_border_cells(dna):
         backend="kernel", nw_best=True)
     assert (res.best, res.best_i, res.best_j) == (b, bi, bj)
     assert b == 0 and (bi, bj) == (0, 0)  # the free origin wins here
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("start", [AlignmentStart.ANYWHERE,
+                                   AlignmentStart.SEQUENCE_1_AND_2])
+def test_hop_chain_matches_host_march(dna, homolog, start, monkeypatch):
+    """The device hop chain (wf.hop_step_device via
+    core._run_hop_chain) must reproduce the host march's crosspoints
+    BYTE-IDENTICALLY: same windows (W = max(4096, 2*hb)), same
+    first-hit match semantics, same fallbacks near j=0 where chaining
+    is ineligible.  Interpret-mode kernel on CPU."""
+    import numpy as np
+
+    from masa_tpu.stages import core, pipeline
+
+    s0 = dna(24576, seed=71)
+    s1 = homolog(s0, seed=72)
+    pcfg = pipeline.PipelineConfig(
+        alignment_start=start, backend="scan", flush_interval=512)
+
+    res, endpoint = pipeline.stage1_pass(s0, s1, pcfg)
+    row_init, col_init = pipeline._mode_inits(start)
+
+    def march(force_chain):
+        if force_chain:
+            monkeypatch.setenv("MASA_TPU_FORCE_HOP_CHAIN", "1")
+        else:
+            monkeypatch.delenv("MASA_TPU_FORCE_HOP_CHAIN",
+                               raising=False)
+        # independent stores per run (the march truncates them)
+        import copy
+
+        specials = core.SpecialRowStore()
+        specials._rows = dict(res.specials._rows)
+        dc = res.specials.dev_cache
+        cache = core.DevRowCache()
+        cache._rows = dict(dc._rows)
+        cache._borders = dict(dc._borders)
+        cache._bytes = dc._bytes
+        return core.reverse_march(
+            s0, s1, pcfg.params, endpoint, specials, row_init,
+            col_init, start, backend="scan", dev_cache=cache)
+
+    host = march(False)
+    chained = march(True)
+    assert [tuple(c) for c in chained] == [tuple(c) for c in host]
