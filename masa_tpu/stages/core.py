@@ -735,18 +735,23 @@ def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
         outs.append(jnp.stack([cj_d, sc_d, ty_d, ok_d]))
         ci = r
     pulled = np.asarray(jnp.stack(outs))   # ONE transfer per segment
-    done = 0
+    # decode the whole segment BEFORE touching march state, so a failure
+    # anywhere leaves cps/stores untouched (the caller's except path
+    # falls back to the host march without duplicates)
+    good: list[Crosspoint] = []
     for r, row in zip(rows, pulled):
         cj_v, sc_v, ty_v, ok_v = (int(x) for x in row)
         if not ok_v:
             break
-        cp = Crosspoint(r, cj_v, sc_v, CrosspointType(ty_v))
+        good.append(Crosspoint(r, cj_v, sc_v, CrosspointType(ty_v)))
+    done = len(good)
+    for c in good:
+        cp = c
         cps.append(cp)
         if on_crosspoint:
             on_crosspoint(cp)
         specials.truncate_above(cp.i)
         dev_cache.truncate_above(cp.i)
-        done += 1
     if trace:
         print(f"    [chain] {done}/{len(rows)} hops hb={hb} W={W} "
               f"t={_time.time()-t0:.2f}", flush=True)
@@ -825,9 +830,17 @@ def reverse_march(
             break
 
         if chain_on:
-            got = _run_hop_chain(seq0, seq1, params, cp, specials,
-                                 dev_cache, sw_anywhere, rev_seqs,
-                                 cps, on_crosspoint, _trace)
+            try:
+                got = _run_hop_chain(seq0, seq1, params, cp, specials,
+                                     dev_cache, sw_anywhere, rev_seqs,
+                                     cps, on_crosspoint, _trace)
+            except Exception as e:  # noqa: BLE001 — the host path is
+                # complete on its own; a chain failure (device OOM, a
+                # rejected kernel variant) must not kill the march
+                print(f"stage2: hop chain disabled ({e!r})",
+                      flush=True)
+                chain_on = False
+                got = None
             if got is not None:
                 cp = got
                 continue
