@@ -1085,9 +1085,10 @@ def goal_match_device(cut_h, cut_f, rev_h, rev_f, cj, goal, rev0h, rev0f,
                       jnp.where(is_hit, score, 0)]).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "W"))
+@functools.partial(jax.jit, static_argnames=("cfg", "W", "sw"))
 def hop_step_device(cfg: WavefrontConfig, s0r, s1r, cut_h, cut_f,
-                    m_minus_ci, n, cj, score, typ, ok, W: int):
+                    m_minus_ci, n, cj, score, typ, ok, W: int,
+                    sw: bool = False):
     """One STEADY stage-2 hop fully on device: the reverse strip (one
     full cfg.rows-tall strip over a fixed W-wide window of the reversed
     sequence views), the pinned-state border synthesis from the
@@ -1113,6 +1114,16 @@ def hop_step_device(cfg: WavefrontConfig, s0r, s1r, cut_h, cut_f,
     """
     go, ge = cfg.gap_open, cfg.gap_ext
     hb = cfg.rows
+    # per-hop eligibility ON DEVICE (the host path's conditions with the
+    # live cj/score): the window must sit fully right of column 0 with
+    # the host's exact width (j_low = cj - W >= 1), and under SW the
+    # hop must not be goal-reachable (the host would then run a dense
+    # start-search instead of this cut match).  An ineligible hop drops
+    # ok and the host replays the segment from there.
+    ok = ok & (cj >= W + 1).astype(jnp.int32)
+    if sw:
+        reach = score <= jnp.minimum(jnp.int32(hb), cj) * cfg.match
+        ok = ok & (~reach).astype(jnp.int32)
     # pinned-state borders (stages.core.init_types_for): row GAPS_OPENED
     # only for GAP_1, col GAPS_OPENED only for GAP_2, GAPS otherwise
     row_code = jnp.where(typ == 1, jnp.int32(2), jnp.int32(1))

@@ -660,16 +660,15 @@ def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
     so the produced crosspoints are byte-identical.  One verdict pull
     per segment replaces one per hop.
 
-    Host-side safety bounds keep semantics exact without mid-chain
-    pulls: crosspoint scores are non-increasing backward (every prefix
-    and suffix of the optimal alignment contributes >= 0) and each hop
-    moves the column by at most W, so the segment length K guarantees
-    (a) j_low = cj - W >= 1 for every chained hop (the j=0 edge cases
-    keep the host path) and (b) when sw_anywhere, goal_reachable stays
-    False for every chained hop (score_k >= score_0 - k*hb*match).
-    Returns the new march crosspoint, or None when no segment applies
-    (caller falls through to the per-hop host path, which owns
-    widening, SW start search and error semantics)."""
+    Per-hop eligibility — the window sitting fully right of column 0
+    (j_low = cj - W >= 1, which also makes the host's width pick equal
+    W) and, under SW, goal_reachable being False — is checked ON DEVICE
+    with the live (cj, score) inside wf.hop_step_device; an ineligible
+    or unmatched hop zeroes the chain's ok flag and the pulled segment
+    replays from there on the host path.  Returns the new march
+    crosspoint, or None when no segment applies (caller falls through
+    to the per-hop host path, which owns widening, SW start search and
+    error semantics)."""
     import time as _time
 
     import jax as _jax
@@ -687,15 +686,15 @@ def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
     W = max(4096, 2 * hb)
     if W & (W - 1):
         return None
-    # segment length bounds (see docstring); every hop needs its cut
-    # resident on device and the next gap equal to hb
-    k_cj = (cp.j - W - 1) // W
-    k_sw = ((cp.score - 1) // (hb * params.match) - 1 if sw_anywhere
-            else 1 << 30)
-    k_max = min(k_cj, k_sw)
+    if cp.j < W + 1:
+        return None
+    # per-hop window/goal-reachability eligibility is checked ON DEVICE
+    # with the live (cj, score) — the host only needs each cut resident
+    # and the row run aligned; the 32-hop cap bounds the compute wasted
+    # past a mid-segment failure (the host replays from it)
     rows = []
     prev = cp.i
-    while len(rows) < k_max:
+    while len(rows) < 32:
         r = specials.next_below(prev, 1)
         if r is None or r <= 0 or prev - r != hb:
             break
@@ -731,7 +730,7 @@ def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
         cj_d, sc_d, ty_d, ok_d = wf.hop_step_device(
             cfg_c, s0r, s1r, cut[0], cut[1],
             jnp.int32(m_len - ci), jnp.int32(n_len),
-            cj_d, sc_d, ty_d, ok_d, W=W)
+            cj_d, sc_d, ty_d, ok_d, W=W, sw=sw_anywhere)
         outs.append(jnp.stack([cj_d, sc_d, ty_d, ok_d]))
         ci = r
     pulled = np.asarray(jnp.stack(outs))   # ONE transfer per segment
