@@ -86,7 +86,15 @@ def main():
     from masa_tpu.stages import runner
 
     wd = os.path.expanduser(f"~/masa_big_{size}.work")
-    job = Job(JobConfig(work_dir=wd))
+    # this host has 125 GB RAM / ~118 GB free disk: the library defaults
+    # (1+16 GB, sized for the reference's 2011 hardware) would force
+    # 262144-row spacing at 23M and sit exactly at the drop margin
+    # (87 rows x 200 MB); a real budget lands the spacing on a ladder
+    # rung (131072 -> the stage-2 hop chain engages) with headroom
+    jcfg = (JobConfig(work_dir=wd, ram_limit=8 << 30,
+                      disk_limit=64 << 30)
+            if size == "23M" else JobConfig(work_dir=wd))
+    job = Job(jcfg)
     t0 = time.time()
     marks = {}
 
