@@ -91,6 +91,9 @@ def main():
     # 262144-row spacing at 23M and sit exactly at the drop margin
     # (87 rows x 200 MB); a real budget lands the spacing on a ladder
     # rung (131072 -> the stage-2 hop chain engages) with headroom
+    # (sra_compression stays "none": on this 1-core host the 4-bit
+    # encode of a 25M row costs 3.6 s vs 1.6 s for the raw copy — the
+    # 64 GB disk budget absorbs raw rows with room to spare)
     jcfg = (JobConfig(work_dir=wd, ram_limit=8 << 30,
                       disk_limit=64 << 30)
             if size == "23M" else JobConfig(work_dir=wd))
