@@ -30,6 +30,9 @@ MAGIC = b"MSR2"
 MAGIC_V1 = b"MSR1"
 MAGIC_PACKED = b"MSRP"
 
+# in-flight lazy rows pin device snapshots; bound the pinned bytes
+_PENDING_CAP = 2 << 30
+
 
 def _row_path(dirpath: str, r: int) -> str:
     return os.path.join(dirpath, f"row.{r:010d}.bin")
@@ -217,6 +220,14 @@ class SpecialRowsPartition:
             self._pending.append((r, lazy))
             self._pending_bytes += nbytes
             self._drain(block=False)
+            # every in-flight row pins its device snapshots: cap the
+            # queue in BYTES (blocking on the oldest) so a lagging
+            # tunnel cannot pile chromosome-scale rows into HBM
+            while self._pending_bytes > _PENDING_CAP and self._pending:
+                rp, lz = self._pending.pop(0)
+                self._pending_bytes -= 8 * lz.count + 20
+                self._disk_bytes += write_row_packed(self.dir, rp, lz)
+                self._disk.add(rp)
 
     def _drain(self, block: bool) -> None:
         while self._pending:

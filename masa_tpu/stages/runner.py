@@ -230,12 +230,16 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
 
     # lazy special rows: RAM-destined rows never cross the tunnel (the
     # device cache is what stage 2 matches against); disk checkpoints
-    # transfer asynchronously in the device's packed form.  Only safe
-    # when every snapshot fits the device budget — the lazy entries pin
-    # the same buffers the DevRowCache holds.
+    # transfer asynchronously in the device's packed form (no host
+    # decode/encode — at 23M the eager path costs ~2.5-4 s of host work
+    # per 200 MB row).  HBM safety: only RAM-destined rows pin their
+    # snapshots indefinitely, and proportional placement bounds those by
+    # the RAM budget; in-flight disk rows are capped by the SRA's
+    # pending-bytes drain (core/sra._PENDING_CAP).
     n_specials = (m - r0) // max(ivs[0], 1)
     snap_bytes = n_specials * 2 * (n + 65536) * 4
-    lazy_rows = snap_bytes <= dev_cache.budget
+    ram_pinned = min(snap_bytes, job.cfg.ram_limit)
+    lazy_rows = ram_pinned + (2 << 30) <= dev_cache.budget
 
     try:
         res = core.forward_pass(

@@ -91,11 +91,13 @@ def main():
     # 262144-row spacing at 23M and sit exactly at the drop margin
     # (87 rows x 200 MB); a real budget lands the spacing on a ladder
     # rung (131072 -> the stage-2 hop chain engages) with headroom
-    # (sra_compression stays "none": on this 1-core host the 4-bit
-    # encode of a 25M row costs 3.6 s vs 1.6 s for the raw copy — the
-    # 64 GB disk budget absorbs raw rows with room to spare)
-    jcfg = (JobConfig(work_dir=wd, ram_limit=8 << 30,
-                      disk_limit=64 << 30)
+    # RAM stays at the 1 GB default on purpose: lazy RAM rows pin their
+    # device snapshots for the whole run, and proportional placement
+    # bounds those pins by the RAM budget — 1 GB of pins keeps the run
+    # inside HBM while nearly every row streams device-packed to disk
+    # (no host decode/encode).  The disk budget is what buys the denser
+    # 131072 spacing (the hop-chain rung).
+    jcfg = (JobConfig(work_dir=wd, disk_limit=64 << 30)
             if size == "23M" else JobConfig(work_dir=wd))
     job = Job(jcfg)
     t0 = time.time()
