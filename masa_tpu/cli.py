@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(fork_multi_process, libmasa.cpp:540-642)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "numpy", "kernel"])
+    p.add_argument("--traceback", default="pipelined",
+                   choices=["pipelined", "speculative"],
+                   help="multi-device stage-2 strategy (--split/--fork): "
+                        "pipelined right-to-left slab marching vs "
+                        "speculative per-slab prediction (the entry-point "
+                        "selection of libmasa.cpp:698-757)")
     # multi-host: initialize the JAX distributed runtime before building
     # the mesh (the DCN control plane; boundary columns still ride ICI)
     p.add_argument("--coordinator", default=None,
@@ -300,10 +306,17 @@ def main(argv=None) -> int:
             print(f"stage1 (weighted column split "
                   f"{[p.j1 - p.j0 for p in parts]}): best={b}")
             return 0
-        # full pipelined alignment over the weighted slabs, with the
-        # standard work-dir artifact set (libmasa.cpp:659-696 + 1351-1394)
-        cps = pipelined_traceback(seq0, seq1, parts, params,
-                                  backend=backend)
+        # full alignment over the weighted slabs, with the standard
+        # work-dir artifact set (libmasa.cpp:659-696 + 1351-1394); the
+        # stage-2 strategy follows --traceback (libmasa.cpp:698-757)
+        if args.traceback == "speculative":
+            from masa_tpu.parallel.split import speculative_traceback
+
+            cps, _reused = speculative_traceback(seq0, seq1, parts,
+                                                 params, backend=backend)
+        else:
+            cps = pipelined_traceback(seq0, seq1, parts, params,
+                                      backend=backend)
         t2 = _time.time()
         pcfg = _pl.PipelineConfig(params=params,
                                   max_cells_stage5=jcfg.stage5_max_cells)
@@ -357,6 +370,7 @@ def main(argv=None) -> int:
         b, aln = sharded_align(seq0, seq1, mesh, params=params,
                                backend=sh_backend,
                                prune=not args.no_block_pruning,
+                               traceback=args.traceback,
                                max_cells_stage5=jcfg.stage5_max_cells,
                                state_dir=job.path("sharded"))
         fmt = (args.output_format if args.output_format != "binary"

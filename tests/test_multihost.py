@@ -30,8 +30,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_sharded_stage1(tmp_path):
+def _run_workers(tmp_path, size: int):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     out = tmp_path / "mh.json"
@@ -39,7 +38,8 @@ def test_two_process_sharded_stage1(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coord, "2", str(pid), str(out)],
+            [sys.executable, WORKER, coord, "2", str(pid), str(out),
+             str(size)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True)
         for pid in range(2)
@@ -58,10 +58,23 @@ def test_two_process_sharded_stage1(tmp_path):
 
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    m = n = 768
+    m = n = size
     s0 = rng.choice(bases, m).astype(np.uint8)
     s1 = s0.copy()
     idx = rng.random(n) < 0.1
     s1[idx] = rng.choice(bases, int(idx.sum())).astype(np.uint8)
     ref = oracle.dp_rows(s0, s1, ScoreParams())
     assert res["best"] == ref.best
+
+
+def test_two_process_distributed_init_tiny(tmp_path):
+    """Default-lane smoke: a REAL 2-process `jax.distributed` init +
+    global mesh + cross-process shard_map on a tiny pair — the control
+    plane exercised on every CI run (the cost is two interpreter
+    startups, not compute)."""
+    _run_workers(tmp_path, 128)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_stage1(tmp_path):
+    _run_workers(tmp_path, 768)

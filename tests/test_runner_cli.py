@@ -213,6 +213,26 @@ class TestCLI:
         assert rc == 0
         assert "best score: 200" in capsys.readouterr().out
 
+    def test_split_traceback_strategy_flag(self, dna, homolog, tmp_path,
+                                           capsys):
+        """--traceback speculative on the weighted-split path must
+        reproduce the pipelined (and oracle) score — the entry-point
+        strategy selection of libmasa.cpp:698-757."""
+        from masa_tpu.cli import main
+
+        s0 = dna(300, seed=115)
+        s1 = homolog(s0, seed=116)
+        f0, f1 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+        write_fasta(f0, "seq a", s0)
+        write_fasta(f1, "seq b", s1)
+        ref = oracle.dp_rows(s0, s1, P)
+        for k, tb in enumerate(["speculative", "pipelined"]):
+            rc = main([f0, f1, "--work-dir", str(tmp_path / f"w{k}"),
+                       "--split", "1,1", "--traceback", tb,
+                       "--maximum-partition", "0"])
+            assert rc == 0
+            assert f"alignment score: {ref.best}" in capsys.readouterr().out
+
     def test_reverse_complement(self, dna, tmp_path, capsys):
         from masa_tpu.cli import main
 

@@ -10,10 +10,18 @@ Targets (reference GTX 560 Ti, TPDS2013 / BASELINE.md):
     23M (NT_033779.4 x NT_037436.3 class): 5h29m full, 28.59 GCUPS
 
 Probe-gated; prints one JSON line at the end.
+
+Honest-timing contract: a `big_run_meta.json` in the work dir records
+the wall time of every attempt, so a crash-resumed run reports the SUM
+over attempts as full_alignment_s — and a work dir NOT created by this
+script (or one whose run already finished) is cleared instead of
+silently replayed (a stage-5/6-only replay of a stale dir once
+masqueraded as a 15 s "5M record").  `--fresh` forces a clean start.
 """
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -33,9 +41,35 @@ def main():
         # exiting 0 ends the retry wrapper cleanly
         print("stop sentinel present; exiting", flush=True)
         return 0
-    size = sys.argv[1] if len(sys.argv) > 1 else "5M"
+    argv = [a for a in sys.argv[1:] if not a.startswith("-")]
+    fresh = "--fresh" in sys.argv
+    size = argv[0] if argv else "5M"
     m = SIZES[size]
     n_target = (25 << 20) if size == "23M" else m  # 23M pairs with 25M
+
+    wd = os.path.expanduser(f"~/masa_big_{size}.work")
+    meta_path = os.path.join(wd, "big_run_meta.json")
+    meta = None
+    if os.path.isdir(wd):
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except Exception:
+                meta = None
+        if fresh or meta is None or meta.get("done"):
+            why = ("--fresh" if fresh
+                   else "no meta (stale dir from an older run)"
+                   if meta is None else "previous run already finished")
+            print(f"[clear] removing work dir {wd} ({why})", flush=True)
+            shutil.rmtree(wd)
+            meta = None
+    prev_elapsed = float(meta["elapsed_s"]) if meta else 0.0
+    attempts = int(meta["attempts"]) if meta else 0
+    resumed = meta is not None
+    if resumed:
+        print(f"[resume] attempt {attempts + 1}, "
+              f"{prev_elapsed:.1f}s accumulated", flush=True)
 
     from masa_tpu.utils.devices import enable_persistent_compile_cache
 
@@ -85,7 +119,6 @@ def main():
     from masa_tpu.core.job import Job, JobConfig
     from masa_tpu.stages import runner
 
-    wd = os.path.expanduser(f"~/masa_big_{size}.work")
     # this host has 125 GB RAM / ~118 GB free disk: the library defaults
     # (1+16 GB, sized for the reference's 2011 hardware) would force
     # 262144-row spacing at 23M and sit exactly at the drop margin
@@ -103,8 +136,22 @@ def main():
     t0 = time.time()
     marks = {}
 
+    def save_meta(done=False):
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump({"size": size,
+                       "elapsed_s": prev_elapsed + time.time() - t0,
+                       "attempts": attempts + 1, "done": done,
+                       "marks": marks}, f)
+        os.replace(meta_path + ".tmp", meta_path)
+
+    save_meta()
+    last_meta = [time.time()]
+
     def log(*a, **k):
         msg = " ".join(str(x) for x in a)
+        if time.time() - last_meta[0] > 60:
+            save_meta()
+            last_meta[0] = time.time()
         if "flushed row" in msg:
             if int(time.time()) % 60 < 2:
                 print(f"[{time.time()-t0:9.2f}s]", msg, flush=True)
@@ -115,12 +162,17 @@ def main():
 
     aln = runner.align_job(job, s0, h1, log=log)
     dt = time.time() - t0
+    total = prev_elapsed + dt
+    save_meta(done=True)
     cells = m * len(h1)
     print(json.dumps({
         "size": size, "m": m, "n": len(h1),
-        "full_alignment_s": round(dt, 2),
-        "full_gcups": round(cells / dt / 1e9, 2),
+        "full_alignment_s": round(total, 2),
+        "full_gcups": round(cells / total / 1e9, 2),
         "score": int(aln.raw_score),
+        "attempts": attempts + 1,
+        "resumed": resumed,
+        "this_attempt_s": round(dt, 2),
         "stage_end_marks_s": marks,
         "work_dir": wd,
     }), flush=True)

@@ -39,6 +39,7 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     coordinator, num_procs, proc_id, out_path = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    size = int(sys.argv[5]) if len(sys.argv) > 5 else 768
 
     import jax
     import numpy as np
@@ -54,7 +55,7 @@ def main():
 
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    m = n = 768
+    m = n = size
     s0 = rng.choice(bases, m).astype(np.uint8)
     s1 = s0.copy()
     idx = rng.random(n) < 0.1
