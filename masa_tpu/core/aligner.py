@@ -125,8 +125,9 @@ class TPUAligner(Aligner):
         )
         iv = mgr.get_special_row_interval()
         if iv:
-            # the kernel flushes at strip boundaries only
-            iv = max(((iv + cfg.rows - 1) // cfg.rows) * cfg.rows, cfg.rows)
+            # the pallas kernel flushes interior rows mid-strip at
+            # alpha*128 granularity; other backends round to strips
+            iv = strips.snap_special_interval(iv, cfg, self.backend)
 
         def on_row(r, bus_h, bus_f):
             mgr.dispatch_row(p.i0 + r, bus_h, bus_f)

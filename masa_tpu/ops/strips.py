@@ -41,6 +41,31 @@ def quantize_cols(nj: int, quantum: int = 128) -> int:
     return -(-nj // q) * q
 
 
+def snap_special_interval(iv: int, cfg: "wf.WavefrontConfig",
+                          backend: str) -> int:
+    """Smallest kernel-flushable special-row cadence >= iv.
+
+    With the mid-strip flush (wf._flush_interior) the pallas kernel can
+    emit rows every k*alpha*128 for any power-of-two k < rs, so the
+    cadence no longer rounds up to the strip height — the decoupling that
+    lets stage 1 run the tallest rung at full rate with dense special
+    rows (the reference's any-cadence flush,
+    AbstractDiagonalAligner.cpp:466-478).  Other backends keep the
+    strip-boundary rounding."""
+    import os
+
+    R = cfg.rows
+    grain = cfg.alpha * 128
+    if (backend == "pallas" and iv < R
+            and (not cfg.interpret
+                 or os.environ.get("MASA_TPU_FORCE_FUSED"))):
+        k = -(-iv // grain)
+        k = 1 << (k - 1).bit_length()   # pow2 -> divides rs
+        if k < cfg.rs:
+            return k * grain
+    return max(((iv + R - 1) // R) * R, R)
+
+
 class RowPull:
     """Deferred host materialization of one special row.
 
@@ -158,9 +183,16 @@ def run_partition(
     synthesize from init codes — per-strip host->device traffic drops to
     scalars.  Falls back to the host data path otherwise.
     """
+    import os as _os
+
     m, nj = len(seq0), len(seq1)
     assert nj >= 1
     nj_out = nj  # the real width; every output/pull is sliced to it
+    # the fused single-dispatch strip path normally skips interpret mode
+    # (Mosaic-in-interpreter is slow); MASA_TPU_FORCE_FUSED exercises it
+    # in CPU tests (the mid-strip flush path lives only there)
+    force_fused = bool(_os.environ.get("MASA_TPU_FORCE_FUSED"))
+    fused_ok = not cfg.interpret or force_fused
     if (backend == "pallas" and not cfg.interpret
             and not cfg.store_lastcol and lastcol_writer is None):
         nj = quantize_cols(nj)
@@ -174,8 +206,23 @@ def run_partition(
         "streamed borders need exact strip heights"
     L = cfg.lanes
     C = cfg.chunk
-    if special_every:
-        assert special_every % R == 0, "flush cadence must align to strips"
+    sub_strip = False
+    n_int = 0
+    cfg_flush = cfg
+    if special_every and special_every % R != 0:
+        # sub-strip cadence: the kernel emits interior rows mid-strip
+        # (wf._flush_interior geometry).  Only the fused pallas path
+        # carries the extra outputs; windowed/partial strips fall back
+        # to boundary-only flushes (consumers tolerate gaps — stage 2's
+        # next_below takes whatever row exists below).
+        grain = cfg.alpha * 128
+        assert backend == "pallas" and fused_ok, \
+            "sub-strip flush cadence needs the fused pallas kernel"
+        assert special_every % grain == 0 and R % special_every == 0, \
+            "sub-strip cadence must be alpha*128-aligned and divide R"
+        sub_strip = True
+        n_int = R // special_every - 1
+        cfg_flush = dataclasses.replace(cfg, flush_every=special_every)
 
     T = cfg.steps(nj)
     ng = pl_cdiv(T, C)
@@ -270,8 +317,6 @@ def run_partition(
 
     # delta-packed pulls only pay off when the pull crosses PCIe/tunnel
     # (MASA_TPU_FORCE_PACKED_PULL exercises the path in CPU tests)
-    import os as _os
-
     import jax as _jax
     packed_pull = (_jax.default_backend() != "cpu"
                    or bool(_os.environ.get("MASA_TPU_FORCE_PACKED_PULL")))
@@ -366,7 +411,7 @@ def run_partition(
         if (prune and backend == "pallas" and hs == R
                 and first_col_reader is None and not cfg.store_lastcol
                 and stop_check is None and blocks_sink is None
-                and not cfg.interpret):
+                and fused_ok):
             # the busmax pull is a blocking sync (it drains the queued
             # groups); while the window stays essentially full, skipping
             # a few checks is exact-safe (a skipped check just means no
@@ -394,9 +439,9 @@ def run_partition(
         if (backend == "pallas" and hs == R and (not prune or wide)
                 and first_col_reader is None and not cfg.store_lastcol
                 and stop_check is None and blocks_sink is None
-                and not cfg.interpret):
+                and fused_ok):
             g = (min(m_iter, m) - i0) // R
-            if special_every:
+            if special_every and not sub_strip:
                 nb = ((i0 // special_every) + 1) * special_every
                 g = min(g, (nb - i0) // R)
             if prune:
@@ -420,29 +465,50 @@ def run_partition(
                 ih_c = ie_c = None
                 if two_phase and dev_max is None:
                     dev_max = (jnp.int32(best), jnp.int32(-1))
-                cfg_run = dataclasses.replace(cfg, track_pos=False) \
-                    if two_phase else cfg
+                cfg_run = dataclasses.replace(cfg_flush, track_pos=False) \
+                    if two_phase else cfg_flush
+
+                def emit_strip(s0k, rows):
+                    # interior rows (logical (n_int, nj) device arrays)
+                    # then the strip-boundary row from the fresh bus
+                    if rows is not None:
+                        for qi in range(n_int):
+                            r_abs = s0k + (qi + 1) * special_every
+                            if r_abs < m:
+                                emit_special(r_abs, rows[0][qi],
+                                             rows[1][qi])
+                    if sub_strip and s0k + R < m:
+                        emit_special(s0k + R, bh_p, bf_p)
+
                 for k in range(g):
                     s0k = i0 + k * R
+                    rows = None
                     if use_sliced:
                         if two_phase:
                             if (s0k // R) % ck_stride == 0:
                                 ckpts[s0k // R] = (bh_p, bf_p)
-                            bh_p, bf_p, dev_max = wf.strip_step_max_sliced(
-                                cfg_run, seq0x, seq1x,
-                                jnp.int32(i0_off + s0k), jnp.int32(j0_off),
-                                jnp.int32(s0k), jnp.int32(int(col_init)),
-                                jnp.int32(nj_out), bh_p, bf_p, dev_max,
-                                s0k // R, nj,
-                            )
+                            bh_p, bf_p, dev_max, *rows = \
+                                wf.strip_step_max_sliced(
+                                    cfg_run, seq0x, seq1x,
+                                    jnp.int32(i0_off + s0k),
+                                    jnp.int32(j0_off),
+                                    jnp.int32(s0k),
+                                    jnp.int32(int(col_init)),
+                                    jnp.int32(nj_out), bh_p, bf_p,
+                                    dev_max, s0k // R, nj,
+                                )
                         else:
-                            bh_p, bf_p, carry = wf.strip_step_sliced(
-                                cfg, seq0x, seq1x,
-                                jnp.int32(i0_off + s0k), jnp.int32(j0_off),
-                                jnp.int32(s0k), jnp.int32(int(col_init)),
-                                jnp.int32(nj_out), bh_p, bf_p, carry,
-                                s0k, nj, cfg.track_best,
-                            )
+                            bh_p, bf_p, carry, *rows = \
+                                wf.strip_step_sliced(
+                                    cfg_flush, seq0x, seq1x,
+                                    jnp.int32(i0_off + s0k),
+                                    jnp.int32(j0_off),
+                                    jnp.int32(s0k),
+                                    jnp.int32(int(col_init)),
+                                    jnp.int32(nj_out), bh_p, bf_p, carry,
+                                    s0k, nj, cfg.track_best,
+                                )
+                        emit_strip(s0k, rows or None)
                         continue
                     a_lanes = jnp.asarray(
                         np.ascontiguousarray(seq0[s0k : s0k + R],
@@ -459,15 +525,16 @@ def run_partition(
                     if two_phase:
                         if (s0k // R) % ck_stride == 0:
                             ckpts[s0k // R] = (bh_p, bf_p)
-                        bh_p, bf_p, dev_max = wf.strip_step_max(
+                        bh_p, bf_p, dev_max, *rows = wf.strip_step_max(
                             cfg_run, a_lanes, ih_c, ie_c, corner, b_p,
                             bh_p, bf_p, dev_max, s0k // R, nj,
                         )
                     else:
-                        bh_p, bf_p, carry = wf.strip_step(
-                            cfg, a_lanes, ih_c, ie_c, corner, b_p,
+                        bh_p, bf_p, carry, *rows = wf.strip_step(
+                            cfg_flush, a_lanes, ih_c, ie_c, corner, b_p,
                             bh_p, bf_p, carry, s0k, nj, cfg.track_best,
                         )
+                    emit_strip(s0k, rows or None)
                 fill = jnp.full(blen - plen, -INF, jnp.int32)
                 bus_h = jnp.concatenate([bh_p, fill])
                 bus_f = jnp.concatenate([bf_p, fill])
@@ -475,7 +542,8 @@ def run_partition(
                     dev_best = carry
                 cells += g * R * nj_out
                 i0 += g * R
-                if special_every and i0 % special_every == 0 and i0 < m:
+                if (special_every and not sub_strip
+                        and i0 % special_every == 0 and i0 < m):
                     # streamed to the caller's store (keeping copies here
                     # would hold O(m*n/interval) host RAM); the pull is
                     # asynchronous — it lands while the next group runs

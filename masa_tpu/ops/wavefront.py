@@ -73,6 +73,16 @@ class WavefrontConfig:
     store_lastcol: bool = False
     interpret: bool = False   # Pallas interpreter mode (CPU tests)
     unroll: int = 8           # inner wavefront loop unroll factor
+    # Mid-strip special-row flush: emit every flush_every-th row of the
+    # strip as an extra output bus, decoupling special-row spacing from
+    # the strip height (the reference's kernel flushes any row at the
+    # manager's cadence, CUDAligner.cu:502-540; boundary-only flushes
+    # forced our stage-1 rung choice to trade kernel rate for traceback
+    # density — see stages.core.stage1_plan).  Must be a multiple of
+    # alpha*128 (so every flushed row sits at sub-row alpha-1, lane
+    # column 127 — only the SUBLANE varies) and divide rows; full-height
+    # strips only.  0 = strip-boundary flushes only.
+    flush_every: int = 0
 
     @property
     def lanes(self) -> int:
@@ -111,6 +121,29 @@ def _flush_pos(cfg: WavefrontConfig, h_true: int) -> tuple[int, int, int, int]:
     r = h_true - 1
     lane, k = r // cfg.alpha, r % cfg.alpha
     return lane, k, lane // 128, lane % 128
+
+
+def _flush_interior(cfg: WavefrontConfig) -> tuple[int, int]:
+    """(n_int, stride): interior flush-row count per strip and their
+    sublane stride.  Interior row q (0-based) is strip row
+    (q+1)*flush_every - 1: sub-row alpha-1, lane column 127, sublane
+    (q+1)*stride - 1 — the strip's LAST row is sublane rs-1 of the SAME
+    per-step capture, so flush mode replaces the dedicated bus select."""
+    if not cfg.flush_every:
+        return 0, 0
+    grain = cfg.alpha * 128
+    assert cfg.flush_every % grain == 0, \
+        "flush_every must be a multiple of alpha*128"
+    assert cfg.rows % cfg.flush_every == 0 and cfg.flush_every < cfg.rows, \
+        "flush_every must divide the strip height"
+    stride = cfg.flush_every // grain
+    return cfg.rows // cfg.flush_every - 1, stride
+
+
+def _interior_lane(cfg: WavefrontConfig, q: int) -> int:
+    """Flush lane of interior row q: its bus column j lands at physical
+    step t = j + lane (the same realignment as the boundary bus)."""
+    return (q + 1) * cfg.flush_every // cfg.alpha - 1
 
 
 def _make_step(cfg: WavefrontConfig, nj: int, h_true: int, fast: bool):
@@ -359,11 +392,20 @@ def strip_scan(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     T = cfg.steps(nj)
     step = _make_step(cfg, nj, h_true, fast=False)(a_lanes, init_h, init_e)
     lane, _, fr, fc = _flush_pos(cfg, h_true)
+    n_int, stride = _flush_interior(cfg)
+    if n_int:
+        assert h_true == cfg.rows, "mid-strip flush needs a full strip"
 
     def body(carry, xs):
         t, b_t, bh_t, bf_t = xs
         st, h_fl, f_fl = step(carry, t, b_t, bh_t, bf_t)
-        return st, (h_fl[fr, fc], f_fl[fr, fc])
+        ys = (h_fl[fr, fc], f_fl[fr, fc])
+        if n_int:
+            ys += (jnp.stack([h_fl[(q + 1) * stride - 1, 127]
+                              for q in range(n_int)]),
+                   jnp.stack([f_fl[(q + 1) * stride - 1, 127]
+                              for q in range(n_int)]))
+        return st, ys
 
     ts = jnp.arange(T, dtype=jnp.int32)
     st, ys = jax.lax.scan(
@@ -375,7 +417,17 @@ def strip_scan(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     )
     bus_h_out = jax.lax.dynamic_slice(ys[0], (lane,), (nj,))
     bus_f_out = jax.lax.dynamic_slice(ys[1], (lane,), (nj,))
-    return _resolve_outputs(cfg, h_true, bus_h_out, bus_f_out, st)
+    out = _resolve_outputs(cfg, h_true, bus_h_out, bus_f_out, st)
+    if n_int:
+        rh = ys[2].T  # (n_int, T) physical
+        rf = ys[3].T
+        out["rows_h"] = jnp.stack([
+            jax.lax.dynamic_slice(rh[q], (_interior_lane(cfg, q),), (nj,))
+            for q in range(n_int)])
+        out["rows_f"] = jnp.stack([
+            jax.lax.dynamic_slice(rf[q], (_interior_lane(cfg, q),), (nj,))
+            for q in range(n_int)])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "T"))
@@ -481,6 +533,9 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     nbt = a if (cfg.track_best and cfg.track_pos) else 0
     nl = a if cfg.store_lastcol else 0
     lane, k_fl, fr, fc = _flush_pos(cfg, h_true)
+    n_int, stride = _flush_interior(cfg)
+    if n_int:
+        assert h_true == cfg.rows, "mid-strip flush needs a full strip"
     make_fast = _make_step(cfg, nj, h_true, fast=True)
     make_edge = _make_step(cfg, nj, h_true, fast=False)
 
@@ -489,7 +544,11 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
 
     def kernel(corner_ref, a_ref, ih_ref, ie_ref, b_ref, bh_ref, bf_ref,
                bho_ref, bfo_ref, bv_ref, bt_ref, lch_ref, lce_ref,
-               state_ref):
+               *rest):
+        if n_int:
+            rh_ref, rf_ref, state_ref = rest
+        else:
+            (state_ref,) = rest
         g = pl.program_id(0)
         a_lanes_v = [a_ref[k] for k in range(a)]
         init_h_v = [ih_ref[k] for k in range(a)]
@@ -531,15 +590,20 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         def run(step_fn, st_in):
             # Mosaic has no scalar VMEM access: inputs are consumed as
             # (1,128) register rows rolled one lane per step, and bus
-            # outputs accumulate into a (1,128) register row flushed as one
-            # vector store per 128 steps.
+            # outputs accumulate into a register row flushed as one
+            # vector store per 128 steps.  With mid-strip flush the
+            # accumulator widens to (RS,128): one masked select captures
+            # column 127 of EVERY sublane (all flush candidates at once),
+            # and the boundary bus becomes sublane RS-1 of the same
+            # buffer — no extra per-step select per interior row.
             nblk = C // 128
 
             def outer(bi, st):
                 b_row0 = b_ref[pl.ds(bi, 1), :]
                 bh_row0 = bh_ref[pl.ds(bi, 1), :]
                 bf_row0 = bf_ref[pl.ds(bi, 1), :]
-                zrow = jnp.zeros((1, 128), jnp.int32)
+                zrow = jnp.zeros(
+                    (cfg.rs if n_int else 1, 128), jnp.int32)
 
                 U = cfg.unroll
                 assert 128 % U == 0
@@ -556,12 +620,16 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
                             bf_row[0:1, 0:1],
                         )
                         sel = lane128 == k
-                        bufh = jnp.where(
-                            sel, h_fl[fr : fr + 1, fc : fc + 1], bufh
-                        )
-                        buff = jnp.where(
-                            sel, f_fl[fr : fr + 1, fc : fc + 1], buff
-                        )
+                        if n_int:
+                            bufh = jnp.where(sel, h_fl[:, 127:128], bufh)
+                            buff = jnp.where(sel, f_fl[:, 127:128], buff)
+                        else:
+                            bufh = jnp.where(
+                                sel, h_fl[fr : fr + 1, fc : fc + 1], bufh
+                            )
+                            buff = jnp.where(
+                                sel, f_fl[fr : fr + 1, fc : fc + 1], buff
+                            )
                         b_row = jnp.roll(b_row, -1, axis=1)
                         bh_row = jnp.roll(bh_row, -1, axis=1)
                         bf_row = jnp.roll(bf_row, -1, axis=1)
@@ -571,8 +639,16 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
                     0, 128 // U, inner,
                     (st, b_row0, bh_row0, bf_row0, zrow, zrow),
                 )
-                bho_ref[pl.ds(bi, 1), :] = bufh
-                bfo_ref[pl.ds(bi, 1), :] = buff
+                if n_int:
+                    bho_ref[pl.ds(bi, 1), :] = bufh[cfg.rs - 1:cfg.rs, :]
+                    bfo_ref[pl.ds(bi, 1), :] = buff[cfg.rs - 1:cfg.rs, :]
+                    for q in range(n_int):
+                        sq = (q + 1) * stride - 1
+                        rh_ref[q, pl.ds(bi, 1), :] = bufh[sq:sq + 1, :]
+                        rf_ref[q, pl.ds(bi, 1), :] = buff[sq:sq + 1, :]
+                else:
+                    bho_ref[pl.ds(bi, 1), :] = bufh
+                    bfo_ref[pl.ds(bi, 1), :] = buff
                 return st2
 
             return jax.lax.fori_loop(0, nblk, outer, st_in)
@@ -608,15 +684,8 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
     lc_spec = pl.BlockSpec((max(nl, 1), cfg.rs, 128),
                            lambda g, c: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ng,),
-        in_specs=[full_vec, full_vec, full_vec,
-                  chunk2d_spec, chunk2d_spec, chunk2d_spec],
-        out_specs=[chunk2d_spec, chunk2d_spec, best_spec, bt_spec,
-                   lc_spec, lc_spec],
-        scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
-    )
+    out_specs = [chunk2d_spec, chunk2d_spec, best_spec, bt_spec,
+                 lc_spec, lc_spec]
     out_shape = [
         jax.ShapeDtypeStruct((ng * C // 128, 128), jnp.int32),
         jax.ShapeDtypeStruct((ng * C // 128, 128), jnp.int32),
@@ -625,7 +694,24 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
         jax.ShapeDtypeStruct((max(nl, 1), cfg.rs, 128), jnp.int32),
     ]
-    bho, bfo, bv, bt, lch, lce = pl.pallas_call(
+    if n_int:
+        rows_spec = pl.BlockSpec((n_int, C // 128, 128),
+                                 lambda g, c: (0, g, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs += [rows_spec, rows_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_int, ng * C // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_int, ng * C // 128, 128), jnp.int32),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[full_vec, full_vec, full_vec,
+                  chunk2d_spec, chunk2d_spec, chunk2d_spec],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((n_state, cfg.rs, 128), jnp.int32)],
+    )
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -634,6 +720,7 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
       b.reshape(ng * C // 128, 128),
       bus_h.reshape(ng * C // 128, 128),
       bus_f.reshape(ng * C // 128, 128))
+    bho, bfo, bv, bt, lch, lce = outs[:6]
     bho = bho.reshape(ng * C)
     bfo = bfo.reshape(ng * C)
 
@@ -643,7 +730,17 @@ def strip_pallas(cfg: WavefrontConfig, a_lanes, b, bus_h, bus_f, init_h,
         tuple(lch[k] for k in range(nl)),
         tuple(lce[k] for k in range(nl)),
     )
-    return _resolve_outputs(cfg, h_true, bho, bfo, st_like)
+    out = _resolve_outputs(cfg, h_true, bho, bfo, st_like)
+    if n_int:
+        rh = outs[6].reshape(n_int, ng * C)
+        rf = outs[7].reshape(n_int, ng * C)
+        out["rows_h"] = jnp.stack([
+            jax.lax.dynamic_slice(rh[q], (_interior_lane(cfg, q),), (nj,))
+            for q in range(n_int)])
+        out["rows_f"] = jnp.stack([
+            jax.lax.dynamic_slice(rf[q], (_interior_lane(cfg, q),), (nj,))
+            for q in range(n_int)])
+    return out
 
 
 def _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
@@ -661,6 +758,8 @@ def _strip_step_body(cfg, a, ih, ie, corner, b, bus_h, bus_f,
     if track:
         best_carry = merge_best_device(best_carry, out["best_v"],
                                        out["best_t"], i0, 0)
+    if cfg.flush_every:
+        return bh2, bf2, best_carry, out["rows_h"], out["rows_f"]
     return bh2, bf2, best_carry
 
 
@@ -679,6 +778,8 @@ def strip_step_max(cfg: WavefrontConfig, a, ih, ie, corner, b, bus_h,
     bf2 = jnp.concatenate(
         [jax.lax.dynamic_slice(out["bus_f"], (lane,), (nj,)), pad])
     max_carry = merge_max_device(max_carry, out["best_v"], strip_id)
+    if cfg.flush_every:
+        return bh2, bf2, max_carry, out["rows_h"], out["rows_f"]
     return bh2, bf2, max_carry
 
 
@@ -894,6 +995,8 @@ def strip_step_max_sliced(cfg: WavefrontConfig, seq0x, seq1x, i0_abs,
     bf2 = jnp.concatenate(
         [jax.lax.dynamic_slice(out["bus_f"], (lane,), (nj,)), pad])
     max_carry = merge_max_device(max_carry, out["best_v"], strip_id)
+    if cfg.flush_every:
+        return bh2, bf2, max_carry, out["rows_h"], out["rows_f"]
     return bh2, bf2, max_carry
 
 

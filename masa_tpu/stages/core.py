@@ -389,34 +389,44 @@ _HOP_SYNC_S = 0.06
 _MM_GCUPS = 13e9
 
 
-def stage1_config(m: int, n: int, sra_limit: int = 17 << 30,
-                  padded_tail: bool = True) -> wf.WavefrontConfig:
-    """Stage-1 rung choice for a run that will be TRACED BACK.
+def stage1_plan(m: int, n: int, sra_limit: int = 17 << 30,
+                padded_tail: bool = True
+                ) -> tuple[wf.WavefrontConfig, int | None]:
+    """Joint stage-1 (rung, special-row spacing) choice for a run that
+    will be TRACED BACK.
 
-    Special rows flush at strip boundaries only, so the stage-1 rung
-    sets the special-row spacing — and with it the entire traceback's
-    cost structure: stage-2 hops are `spacing` tall with ~2*spacing
-    windows, and stage 4 inherits `spacing`-tall partitions that its
-    batched engine grinds at ~1/10 the strip kernel's rate.  The
-    biggest rung maximizes stage-1 GCUPS but at 1M leaves 8 special
-    rows and a stage 4 that re-computes a third of the matrix; the
-    model below (measured constants above) picks the total-time
-    minimizer — R=32768 for 1M/5M-class runs.  The reference's ladder
-    faces no such coupling because its kernel flushes any row
-    (sw_stage1.cpp:168-196); ours buys the fused-strip rate with
-    boundary-only flushes, so the rung choice is where the trade
-    lands."""
+    The spacing sets the entire traceback's cost structure: stage-2 hops
+    are `spacing` tall with ~2*spacing windows, and stage 4 inherits
+    `spacing`-tall partitions that its batched engine grinds at ~1/10
+    the strip kernel's rate.  With the kernel's mid-strip flush
+    (wf._flush_interior) the spacing DECOUPLES from the strip height —
+    the tallest rung runs at full rate while rows flush at any denser
+    rung-aligned cadence (matching the reference's any-cadence flush,
+    sw_stage1.cpp:168-196 / CUDAligner.cu:502-540) — so the model scans
+    (rung, spacing) pairs: sub-strip spacings are restricted to LADDER
+    RUNG heights (stage-2 hop chains engage only when the hop height is
+    itself a rung) plus strip-boundary multiples, floored by the SRA
+    budget.  Returns (cfg, spacing); spacing is None off-TPU (the caller
+    keeps the legacy strip-aligned cadence)."""
     import jax
 
     if jax.default_backend() != "tpu":
-        return adaptive_config(m)
-    best, best_cost = None, None
+        return adaptive_config(m), None
+    iv_min = m * n * 8 // max(sra_limit, 1) + 1
+    best = None
     for cfg in _TPU_LADDER:
         R = cfg.rows
         rate = _rung_rate(cfg)
-        iv = m * n * 8 // max(sra_limit, 1) + 1
-        spacing = max(-(-iv // R) * R, R)
-        hops = max(m // spacing, 1)
+        grain = cfg.alpha * 128
+        cands = [c.rows for c in _TPU_LADDER
+                 if c.rows < R and c.rows % grain == 0
+                 and R % c.rows == 0]
+        mult = R
+        while True:
+            cands.append(mult)
+            if mult >= iv_min:
+                break
+            mult *= 2
         s1 = m * n / rate + (m / R) * _DISPATCH_S
         rem = m % R
         if rem:
@@ -424,18 +434,28 @@ def stage1_config(m: int, n: int, sra_limit: int = 17 << 30,
             # (full rate); pinned-border runs drop to the scan twin
             s1 += ((R - rem) * n / rate if padded_tail
                    else rem * n / _SCAN_GCUPS)
-        s2 = hops * _HOP_SYNC_S + 2.0 * m * spacing / rate
-        # stage 4: levels whose halves are >= 32768 tall run per-half
-        # strip chains at the kernel's rate (batched_mm._halves_strips);
-        # the remaining levels (halves < 32768 -> pair spans < 65536)
-        # grind at the batched engine's rate
-        slow_span = min(spacing, 65536)
-        s4 = (2.0 * m * slow_span / _MM_GCUPS
-              + 2.0 * m * max(spacing - slow_span, 0) / rate)
-        cost = s1 + s2 + s4
-        if best_cost is None or cost < best_cost:
-            best, best_cost = cfg, cost
-    return best
+        for spacing in cands:
+            if spacing < iv_min:
+                continue
+            hops = max(m // spacing, 1)
+            s2 = hops * _HOP_SYNC_S + 2.0 * m * spacing / rate
+            # stage 4: levels whose halves are >= 32768 tall run
+            # per-half strip chains at the kernel's rate
+            # (batched_mm._halves_strips); the remaining levels grind
+            # at the batched engine's rate
+            slow_span = min(spacing, 65536)
+            s4 = (2.0 * m * slow_span / _MM_GCUPS
+                  + 2.0 * m * max(spacing - slow_span, 0) / rate)
+            cost = s1 + s2 + s4
+            if best is None or cost < best[0]:
+                best = (cost, cfg, spacing)
+    return best[1], best[2]
+
+
+def stage1_config(m: int, n: int, sra_limit: int = 17 << 30,
+                  padded_tail: bool = True) -> wf.WavefrontConfig:
+    """The rung of stage1_plan (spacing-agnostic callers)."""
+    return stage1_plan(m, n, sra_limit, padded_tail)[0]
 
 
 def goal_reachable(cp: Crosspoint, cut_row: int, match: int) -> bool:

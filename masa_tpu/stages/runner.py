@@ -124,14 +124,21 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     pcfg = _pcfg(job, kernel_cfg)
     end = pipeline._effective_end(pcfg)
     rec0 = pipeline._recurrence(pcfg.alignment_start)
-    # rung choice sets the special-row spacing and with it the whole
-    # traceback's cost shape (stage1_config docstring) — not just the
-    # forward GCUPS
-    kcfg = kernel_cfg or core.stage1_config(
-        m, n, job.sra_limit(),
-        padded_tail=(rec0 == Recurrence.SMITH_WATERMAN
-                     and end == AlignmentStart.ANYWHERE))
-    ivs = job.calculate_flush_intervals(m, n, align_to=kcfg.rows)
+    # joint (rung, spacing) choice: the spacing sets the whole
+    # traceback's cost shape (stage1_plan docstring), and with the
+    # kernel's mid-strip flush it no longer rounds up to the rung height
+    spacing = None
+    if kernel_cfg is not None:
+        kcfg = kernel_cfg
+    else:
+        kcfg, spacing = core.stage1_plan(
+            m, n, job.sra_limit(),
+            padded_tail=(rec0 == Recurrence.SMITH_WATERMAN
+                         and end == AlignmentStart.ANYWHERE))
+    # align_to=spacing lands interval_0 exactly on the planned cadence
+    # (the plan floors spacing at the SRA-budget interval)
+    ivs = job.calculate_flush_intervals(m, n,
+                                        align_to=spacing or kcfg.rows)
     cpf = job.crosspoints_file(STAGE_1, 0)
 
     import os

@@ -204,14 +204,14 @@ def test_partition_config_rung_cost_model(monkeypatch):
     assert core.partition_config(131072, 1 << 20) is core._CPU_LADDER[0]
 
 
-def test_stage1_config_traceback_aware(monkeypatch):
-    """Stage-1 rung choice must minimize the WHOLE pipeline, not the
-    forward GCUPS: special rows flush at strip boundaries only, so the
-    tallest rung (R=131072) leaves a 1M run just 8 special rows — and a
-    stage 4 that re-computes ~a third of the matrix at the batched
-    engine's ~13 GCUPS (measured: 20-30 s of a 50 s warm run).  The
-    mid rung's 32 rows cost ~1 s of stage 1 and save ~15 s of
-    traceback."""
+def test_stage1_plan_traceback_aware(monkeypatch):
+    """Stage-1 planning must minimize the WHOLE pipeline, not the forward
+    GCUPS.  With the kernel's mid-strip flush the spacing decouples from
+    the rung: 1M/5M-class runs take the TALLEST rung (R=131072, full
+    kernel rate) with 32768-row spacing (stage-2 hop chains engage on
+    the 32768 rung; stage 4 inherits 32768-tall partitions) — where the
+    round-3 boundary-only kernel had to drop the whole stage 1 to the
+    R=32768 rung (~90 GCUPS measured) to buy the same spacing."""
     import jax
 
     from masa_tpu.stages import core
@@ -219,21 +219,28 @@ def test_stage1_config_traceback_aware(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     m = n = 1 << 20
-    cfg = core.stage1_config(m, n, 17 << 30)
-    assert cfg.rows == 32768
+    cfg, spacing = core.stage1_plan(m, n, 17 << 30)
+    assert cfg.rows == 131072
+    assert spacing == 32768
+    # the spacing must be kernel-flushable at this rung
+    from masa_tpu.ops.strips import snap_special_interval
+
+    assert snap_special_interval(spacing, cfg, "pallas") == spacing
 
     # 5M-class: same trade, same winner
-    assert core.stage1_config(5_000_000, 5_000_000, 17 << 30).rows == 32768
+    cfg, spacing = core.stage1_plan(5_000_000, 5_000_000, 17 << 30)
+    assert (cfg.rows, spacing) == (131072, 32768)
 
     # when the SRA budget itself forces sparse rows (23M-class), the
-    # spacing is budget-bound whatever the rung; the chooser must still
+    # spacing is budget-bound whatever the rung; the planner must still
     # return a ladder rung and respect the budget floor
-    cfg = core.stage1_config(23_000_000, 25_000_000, 17 << 30)
+    cfg, spacing = core.stage1_plan(23_000_000, 25_000_000, 17 << 30)
     iv = 23_000_000 * 25_000_000 * 8 // (17 << 30) + 1
     assert cfg in core._TPU_LADDER
-    spacing = -(-iv // cfg.rows) * cfg.rows
     assert spacing >= iv
+    assert spacing % (cfg.alpha * 128) == 0
 
-    # off-TPU: the CPU ladder via adaptive_config
+    # off-TPU: the CPU ladder via adaptive_config, no spacing override
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
-    assert core.stage1_config(m, n) is core._CPU_LADDER[0]
+    cfg, spacing = core.stage1_plan(m, n)
+    assert cfg is core._CPU_LADDER[0] and spacing is None

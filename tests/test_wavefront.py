@@ -460,3 +460,150 @@ def test_async_packed_special_pulls(dna, homolog, monkeypatch):
         np.testing.assert_array_equal(h, ref.specials[r][0][1:])
         np.testing.assert_array_equal(f, ref.specials[r][1][1:])
     assert res.best == ref.best
+
+
+class TestMidStripFlush:
+    """cfg.flush_every: interior special rows emitted from inside one
+    strip (the decoupling of special-row spacing from strip height —
+    the reference's any-cadence flush, CUDAligner.cu:502-540)."""
+
+    def _inputs(self, dna, homolog, cfg, m, nj, rec, seed=71):
+        from masa_tpu.models.scoring import border_cells
+        from masa_tpu.ops import wavefront as wf
+
+        s0 = dna(m, seed=seed)
+        s1 = homolog(s0, seed=seed + 1)[:nj]
+        nj = len(s1)
+        plen = wf.padded_len(cfg, nj)
+        b = np.full(plen, wf.B_SENTINEL, np.int32)
+        b[:nj] = s1
+        init = (InitType.WITH_ZEROES
+                if rec == Recurrence.SMITH_WATERMAN
+                else InitType.WITH_GAPS)
+        rh, rf = border_cells(nj + 1, init, P)
+        bus_h = np.full(plen, -INF, np.int32)
+        bus_f = np.full(plen, -INF, np.int32)
+        bus_h[:nj] = rh[1:]
+        bus_f[:nj] = rf[1:]
+        ch, ce = border_cells(cfg.rows, init, P, start=1)
+        a = wf.pack_strip_rows(cfg, s0.astype(np.int32))
+        ih, ie = wf.pack_border_cols(cfg, ch, ce)
+        corner = int(border_cells(1, init, P)[0][0])
+        ref = oracle.dp_rows(
+            s0, s1, P, rec, init, init,
+            special_rows=tuple(range(cfg.flush_every, cfg.rows,
+                                     cfg.flush_every)))
+        return s0, s1, nj, a, b, bus_h, bus_f, ih, ie, corner, ref
+
+    def _check(self, out, ref, nj, cfg):
+        rows_h = np.asarray(out["rows_h"])
+        rows_f = np.asarray(out["rows_f"])
+        n_int = cfg.rows // cfg.flush_every - 1
+        assert rows_h.shape == (n_int, nj)
+        for q in range(n_int):
+            r = (q + 1) * cfg.flush_every
+            np.testing.assert_array_equal(
+                canon(rows_h[q]), canon(ref.specials[r][0][1:]),
+                err_msg=f"interior H row {r}")
+            np.testing.assert_array_equal(
+                canon(rows_f[q]), canon(ref.specials[r][1][1:]),
+                err_msg=f"interior F row {r}")
+        # the boundary bus must be untouched by the capture rework
+        from masa_tpu.ops import wavefront as wf
+
+        bh = np.asarray(wf.slice_bus(cfg, out["bus_h"], nj, cfg.rows))
+        np.testing.assert_array_equal(canon(bh), canon(ref.last_h[1:]))
+
+    def test_scan_interior_rows_vs_oracle(self, dna, homolog):
+        from masa_tpu.ops import wavefront as wf
+
+        cfg = WavefrontConfig(alpha=4, rs=8, chunk=1024, track_best=True,
+                              flush_every=1024)
+        (s0, s1, nj, a, b, bus_h, bus_f, ih, ie, corner,
+         ref) = self._inputs(dna, homolog, cfg, cfg.rows, 1500,
+                             Recurrence.SMITH_WATERMAN)
+        out = wf.strip_scan(cfg, a, b, bus_h, bus_f, ih, ie, corner,
+                            nj=nj, h_true=cfg.rows)
+        self._check(out, ref, nj, cfg)
+        assert ref.best == int(np.asarray(out["best_v"]).max())
+
+    def test_scan_interior_rows_nw(self, dna, homolog):
+        from masa_tpu.ops import wavefront as wf
+
+        cfg = WavefrontConfig(
+            alpha=4, rs=8, chunk=1024, track_best=False,
+            recurrence=Recurrence.NEEDLEMAN_WUNSCH, flush_every=512)
+        (s0, s1, nj, a, b, bus_h, bus_f, ih, ie, corner,
+         ref) = self._inputs(dna, homolog, cfg, cfg.rows, 1100,
+                             Recurrence.NEEDLEMAN_WUNSCH, seed=73)
+        out = wf.strip_scan(cfg, a, b, bus_h, bus_f, ih, ie, corner,
+                            nj=nj, h_true=cfg.rows)
+        self._check(out, ref, nj, cfg)
+
+    @pytest.mark.slow
+    def test_pallas_interior_rows_vs_oracle(self, dna, homolog):
+        from masa_tpu.ops import wavefront as wf
+
+        cfg = WavefrontConfig(alpha=4, rs=8, chunk=1024, track_best=True,
+                              flush_every=1024, interpret=True)
+        (s0, s1, nj, a, b, bus_h, bus_f, ih, ie, corner,
+         ref) = self._inputs(dna, homolog, cfg, cfg.rows, 1500,
+                             Recurrence.SMITH_WATERMAN)
+        out = wf.strip_pallas(cfg, a, b, bus_h, bus_f, ih, ie, corner,
+                              nj=nj, h_true=cfg.rows)
+        self._check(out, ref, nj, cfg)
+        assert ref.best == int(np.asarray(out["best_v"]).max())
+
+
+def test_snap_special_interval():
+    from masa_tpu.ops.strips import snap_special_interval
+
+    cfg = WavefrontConfig(alpha=32, rs=32, chunk=8192)  # R=131072
+    # sub-strip: pow2 multiples of alpha*128 below R
+    assert snap_special_interval(482, cfg, "pallas") == 4096
+    assert snap_special_interval(4097, cfg, "pallas") == 8192
+    assert snap_special_interval(32768, cfg, "pallas") == 32768
+    # k >= rs rounds to strips
+    assert snap_special_interval(65537, cfg, "pallas") == 131072
+    assert snap_special_interval(131073, cfg, "pallas") == 262144
+    # non-pallas backends keep the strip rounding
+    assert snap_special_interval(482, cfg, "scan") == 131072
+    # interpret mode only honors sub-strip under the test override
+    icfg = WavefrontConfig(alpha=32, rs=32, chunk=8192, interpret=True)
+    assert snap_special_interval(482, icfg, "pallas") == 131072
+
+
+@pytest.mark.slow
+def test_run_partition_sub_strip_cadence(dna, homolog, monkeypatch):
+    """End-to-end sub-strip special rows through run_partition's fused
+    path: interior + boundary rows from two full strips must match the
+    oracle, with the tail partial strip contributing boundary rows only
+    (consumers tolerate gaps)."""
+    import dataclasses
+
+    monkeypatch.setenv("MASA_TPU_FORCE_FUSED", "1")
+    cfg = WavefrontConfig(alpha=4, rs=8, chunk=1024, track_best=True,
+                          interpret=True)
+    R = cfg.rows  # 4096
+    se = 1024
+    s0 = dna(2 * R + 500, seed=81)
+    s1 = homolog(s0, seed=82)[:1500]
+    res = strips.run_partition(
+        cfg, s0, s1, P, InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+        backend="pallas", special_every=se,
+    )
+    # all sub-strip rows of the two fused strips must be present
+    fused_rows = [r for r in range(se, 2 * R + 1, se)]
+    assert all(r in res.specials for r in fused_rows), \
+        sorted(res.specials)
+    ref = oracle.dp_rows(s0, s1, P,
+                         special_rows=tuple(sorted(res.specials)))
+    for r, (sh, sf) in sorted(res.specials.items()):
+        np.testing.assert_array_equal(canon(sh),
+                                      canon(ref.specials[r][0][1:]),
+                                      err_msg=f"row {r} H")
+        np.testing.assert_array_equal(canon(sf),
+                                      canon(ref.specials[r][1][1:]),
+                                      err_msg=f"row {r} F")
+    assert res.best == ref.best
+    assert (res.best_i, res.best_j) == (ref.best_i, ref.best_j)
