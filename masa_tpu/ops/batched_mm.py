@@ -225,8 +225,8 @@ def _mosaic_dyn_step(cfg: wf.WavefrontConfig, njq: int, B: int, go: int,
     ng = wf._num_chunks(cfg, njq)
 
     @functools.partial(jax.jit, donate_argnums=(8, 9))
-    def step(s0d, s1d, i0s, j0s, r0, ccodes, hvs, ws, bh, bf):
-        def prep_one(i0, j0, col_code):
+    def step(s0d, s1d, i0s, j0s, r0s, ccodes, hvs, ws, bh, bf):
+        def prep_one(i0, j0, r0, col_code):
             a_vec = jax.lax.dynamic_slice(s0d, (i0 + r0,), (R,))
             a_lanes = wf.pack_lanes_jnp(cfg, a_vec)
             kk = jnp.arange(R, dtype=jnp.int32) + r0 + 1
@@ -238,7 +238,7 @@ def _mosaic_dyn_step(cfg: wf.WavefrontConfig, njq: int, B: int, go: int,
             return a_lanes, ih, ie, corner, b
 
         a_all, ih_all, ie_all, corners, b_all = jax.vmap(prep_one)(
-            i0s, j0s, ccodes)
+            i0s, j0s, r0s, ccodes)
         lanes = jnp.clip((hvs - 1) // a, 0, cfg.lanes - 1)
         frs = lanes // 128
         # per-element effective chunk count: element k's last needed
@@ -267,6 +267,85 @@ import os as _os
 import time as _time
 
 _TRACE = bool(_os.environ.get("MASA_TPU_STAGE4_TRACE"))
+
+
+# The tail rung: alpha=1 gives the finest dynamic-height granularity the
+# dyn kernel can express (alpha*128 = 128 rows), and R = 4096 covers any
+# main-rung tail (< alpha*128 <= 4096) in ONE chained call.  rs stays 32
+# (full-width (32,128) vectors; rs=1 shapes are Mosaic-rejected).
+_TAIL_CFG = wf.WavefrontConfig(alpha=1, rs=32, chunk=8192)
+# sub-128-row residues: one short sweep call (128 scan steps, not 512)
+_RESID_R = 128
+
+
+def _run_tails(dev: _DevSeqs, rev: bool, params: ScoreParams, njq: int,
+               plen: int, Bb: int, i0s, j0s, ccodes, ws_a, bodies_a,
+               tails: list[int], bh, bf):
+    """Sub-granularity height tails after the main-rung body passes.
+
+    Round 3 chained every tail through the 512-row sweep engine — up to
+    8 sequential dispatches of a 512-step lax.scan each, whose per-step
+    overhead (~0.5 ms at wide njq) made the tails cost ~4x the batched
+    body steps (records/round3_batch.log: level 1 steps=1.68 tail=6.57).
+    Now the 128-row-granular part of every tail runs as ONE batched
+    alpha=1 dyn-kernel dispatch (all elements at once, per-element
+    heights as data), and only the < 128-row residue takes ONE short
+    sweep call.  Matches the tail handling of the reference's stage-4
+    splitter (stage4/sw_stage4.cpp:926-945) at the kernel's rate."""
+    from masa_tpu.ops import rowsweep
+
+    go, ge = params.gap_open, params.gap_ext
+    s0d, s1d = dev.views(rev)
+    tb = [(t // 128) * 128 for t in tails]
+    tb_a = jnp.asarray(tb, jnp.int32)
+    if max(tb) > 0:
+        cfg_t = dataclasses.replace(
+            _TAIL_CFG, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+            track_best=False, store_lastcol=False,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=go, gap_ext=ge,
+            interpret=(jax.default_backend() != "tpu"))
+        plen_t = wf.padded_len(cfg_t, njq)
+        step_t = _mosaic_dyn_step(cfg_t, njq, Bb, go, ge)
+        # logical-bus content lives in [0, njq); re-pad to the tail
+        # rung's physical length and back (NEG filler either way)
+        if plen_t <= plen:
+            bh_t, bf_t = bh[:, :plen_t], bf[:, :plen_t]
+        else:
+            fill = jnp.full((Bb, plen_t - plen), NEG, jnp.int32)
+            bh_t = jnp.concatenate([bh, fill], axis=1)
+            bf_t = jnp.concatenate([bf, fill], axis=1)
+        bh_t, bf_t = step_t(s0d, s1d, i0s, j0s, bodies_a, ccodes, tb_a,
+                            ws_a, bh_t, bf_t)
+        if plen_t >= plen:
+            bh, bf = bh_t[:, :plen], bf_t[:, :plen]
+        else:
+            fill = jnp.full((Bb, plen - plen_t), NEG, jnp.int32)
+            bh = jnp.concatenate([bh_t, fill], axis=1)
+            bf = jnp.concatenate([bf_t, fill], axis=1)
+    resid = [t - b for t, b in zip(tails, tb)]
+    if max(resid) > 0:
+        # typically the 1-2 odd-height chains from the endpoint/start
+        # partitions: one short sweep over ONLY the residue-bearing
+        # elements (residues < 128 <= _RESID_R, so never chained)
+        idxs = [k for k, t in enumerate(resid) if t > 0]
+        pad_to = 1 << (len(idxs) - 1).bit_length()
+        sel = idxs + [idxs[0]] * (pad_to - len(idxs))
+        sel_a = jnp.asarray(sel, jnp.int32)
+        eng = rowsweep.batched_sweep_engine(
+            njq + 1, _RESID_R, False, go, ge,
+            params.match, params.mismatch)
+        resid_sel = jnp.asarray([resid[k] for k in sel], jnp.int32)
+        th, tf = eng(
+            s0d, s1d, i0s[sel_a], j0s[sel_a],
+            bodies_a[sel_a] + tb_a[sel_a], ccodes[sel_a],
+            bh[sel_a, :njq], bf[sel_a, :njq], resid_sel)
+        fillw = jnp.full((pad_to, plen - njq), NEG, jnp.int32)
+        th = jnp.concatenate([th, fillw], axis=1)
+        tf = jnp.concatenate([tf, fillw], axis=1)
+        bh = bh.at[sel_a[: len(idxs)]].set(th[: len(idxs)])
+        bf = bf.at[sel_a[: len(idxs)]].set(tf[: len(idxs)])
+    return bh, bf
 
 
 def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
@@ -308,7 +387,8 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
     for s0r in range(0, max(bodies), R):
         ta = _time.time()
         hvs = jnp.clip(bodies_a - s0r, 0, R)
-        bh, bf = step(s0d, s1d, i0s, j0s, jnp.int32(s0r), ccodes, hvs,
+        bh, bf = step(s0d, s1d, i0s, j0s,
+                      jnp.full(Bb, s0r, jnp.int32), ccodes, hvs,
                       ws_a, bh, bf)
         if _TRACE:
             jax.block_until_ready(bh)
@@ -317,33 +397,9 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
 
     tt = 0.0
     if max(tails) > 0:
-        # sub-granularity tails (typically the 1-2 odd-height chains
-        # from the endpoint/start partitions): a row-sweep over ONLY the
-        # tail-bearing elements — at wide njq a whole-tile sweep is
-        # slow, a 1-2 element one is ~0.2 s
-        from masa_tpu.ops import rowsweep
-
         ta = _time.time()
-        idxs = [k for k, t in enumerate(tails) if t > 0]
-        pad_to = 1 << (len(idxs) - 1).bit_length() if idxs else 1
-        sel = idxs + [idxs[0]] * (pad_to - len(idxs))
-        sel_a = jnp.asarray(sel, jnp.int32)
-        eng = rowsweep.batched_sweep_engine(
-            njq + 1, _SWEEP_R, False, go, ge,
-            params.match, params.mismatch)
-        # chain: tails range up to gran-1 = alpha*128-1 rows, far more
-        # than one _SWEEP_R rung (the engine clips h_rem to [0, R])
-        tails_sel = jnp.asarray([tails[k] for k in sel], jnp.int32)
-        th, tf = bh[sel_a, :njq], bf[sel_a, :njq]
-        for s0r in range(0, max(tails), _SWEEP_R):
-            th, tf = eng(
-                s0d, s1d, i0s[sel_a], j0s[sel_a], bodies_a[sel_a] + s0r,
-                ccodes[sel_a], th, tf, tails_sel - s0r)
-        fillw = jnp.full((pad_to, plen - njq), NEG, jnp.int32)
-        th = jnp.concatenate([th, fillw], axis=1)
-        tf = jnp.concatenate([tf, fillw], axis=1)
-        bh = bh.at[sel_a[: len(idxs)]].set(th[: len(idxs)])
-        bf = bf.at[sel_a[: len(idxs)]].set(tf[: len(idxs)])
+        bh, bf = _run_tails(dev, rev, params, njq, plen, Bb, i0s, j0s,
+                            ccodes, ws_a, bodies_a, tails, bh, bf)
         if _TRACE:
             jax.block_until_ready(bh)
             np.asarray(bh[0, :1])
@@ -459,18 +515,23 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
         # tall halves: per-half fused strip chains at the strip
         # kernel's rate (~10x the batched dyn kernel on these shapes)
         return _halves_strips(dev, halves, rev, params, njq)
-    if (jax.default_backend() == "tpu" and h_max > _DYN_H_MAX
-            and njq > _MOSAIC_NJQ_MIN):
-        # wide levels: the dynamic-height Mosaic kernel takes a tile's
-        # height MIX directly — no per-height compile keys
+    if jax.default_backend() == "tpu" and h_max > _DYN_H_MAX:
+        # every other level: the dynamic-height Mosaic kernel takes a
+        # tile's height MIX directly — no per-height compile keys.
+        # Round 3 sent njq <= 8192 (merged deep/narrow) levels to the
+        # row-sweep engine; its per-scan-step overhead (~0.5 ms at
+        # width 8192) made a 2048-tall level cost 4 x 512 sequential
+        # steps per tile — the 5M run burned 21 s in ONE such level
+        # (records/big_run_5M_r4.log, level 4).  The R=4096 rung's
+        # anti-diagonal steps cost ~100x less each.
         outs = []
         for off in range(0, B, _B_TILE):
             outs.append(_halves_mosaic(
                 dev, halves[off : off + _B_TILE], rev, params, njq))
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
-    # deep/narrow levels (and every CPU run): the row-sweep engine —
-    # measured ~9x faster than the Mosaic path at these shapes
+    # tiny levels (h <= 256) and every CPU run: the row-sweep engine —
+    # a single XLA dispatch of <= 256 scan steps beats any kernel launch
     return _halves_sweep(dev, halves, rev, params, njq)
 
 

@@ -1012,6 +1012,30 @@ def init_bus_synth(cfg: WavefrontConfig, row_code, nj_real, plen: int):
     return bh, bf
 
 
+@functools.partial(jax.jit, static_argnames=("nj_real", "plen", "go",
+                                             "ge"))
+def hop_bus_init(row_code, nj_real: int, plen: int, go: int, ge: int):
+    """Standalone-jitted init_bus_synth for host-orchestrated hop chains
+    (the arbitrary-height endpoint hop builds its entering bus in one
+    dispatch, then chains already-jitted strip steps)."""
+    j = jax.lax.iota(jnp.int32, plen) + 1
+    bh = jnp.where(j <= nj_real, border_h_traced(row_code, j, go, ge),
+                   jnp.int32(NEG))
+    bf = jnp.full(plen, NEG, jnp.int32)
+    return bh, bf
+
+
+@functools.partial(jax.jit, static_argnames=("plen",))
+def bus_repad(bh, bf, plen: int):
+    """Re-pad a logical last-row bus to another engine's physical length
+    (content lives in [0, nj); filler is NEG either way)."""
+    cur = bh.shape[0]
+    if cur >= plen:
+        return bh[:plen], bf[:plen]
+    fill = jnp.full(plen - cur, NEG, jnp.int32)
+    return (jnp.concatenate([bh, fill]), jnp.concatenate([bf, fill]))
+
+
 @functools.partial(jax.jit, static_argnames=("nj",))
 def delta_pack_device(v, nj: int):
     """Delta-encode the first nj elements to NIBBLES on DEVICE (two

@@ -670,6 +670,155 @@ def _border_f_value(col_init: InitType, i: int, params: ScoreParams) -> int:
     return -params.gap_open - i * params.gap_ext
 
 
+def _run_arb_hop(seq0, seq1, params: ScoreParams, cp: Crosspoint,
+                 specials, dev_cache, sw_anywhere: bool, rev_seqs,
+                 backend: str, trace: bool):
+    """One stage-2 hop of ARBITRARY height fully on device.
+
+    Hops are rung-tall except the FIRST (hb = endpoint row mod the
+    special spacing — 32763 in the round-3 traced 1M run), which fell to
+    the host window path at ~2.5 s per run.  Here the hop decomposes
+    into q full-rung strip steps + a 128-granular dynamic-height kernel
+    tail + a < 128-row on-device sweep, all chained on device with the
+    goal match there too — ONE 4-scalar verdict pull (the reference's
+    kernel serves any hop height directly, stage2/sw_stage2.cpp:380-458).
+
+    Byte-identical contract with reverse_pass_and_match: engages only
+    where the host path would pick this exact window (same width pick,
+    window fully right of column 0, kernel backend, dev cut resident,
+    goal not SW-reachable); the matcher is the same goal_match_device.
+    On a miss/overshoot or any ineligibility it returns None and the
+    caller's host path owns widening, SW start search and errors."""
+    import time as _time
+
+    import jax as _jax
+    import jax.numpy as jnp
+
+    if backend == "numpy":
+        return None
+    r = specials.next_below(cp.i, 1)
+    if r is None or r <= 0:
+        return None
+    hb = cp.i - r
+    if hb < 128:
+        return None
+    on_tpu = _jax.default_backend() == "tpu"
+    ladder = _TPU_LADDER if on_tpu else _CPU_LADDER
+    if any(c.rows == hb for c in ladder):
+        return None  # rung-tall: the chain path owns it
+    cut = dev_cache.get(r)
+    if cut is None:
+        return None
+    if sw_anywhere and goal_reachable(cp, r, params.match):
+        return None
+    width0 = initial_window(cp, r, backend)
+    if cp.j - width0 < 1:
+        return None
+    want = 1 << (width0 - 1).bit_length()
+    if cp.j - want < 1:
+        return None
+    if backend == "auto" and hb * want < 16_000_000:
+        return None  # the host path resolves to the numpy oracle
+    W = want
+
+    t0 = _time.time()
+    go, ge = params.gap_open, params.gap_ext
+    row_init, col_init = init_types_for(cp.type)
+    from masa_tpu.core.aligner import dev_pads
+    from masa_tpu.ops import batched_mm as bmm
+    from masa_tpu.ops import rowsweep
+
+    row_code = bmm._CODE[row_init]
+    col_code = bmm._CODE[col_init]
+    goal = cp.score + (go if cp.type != CrosspointType.MATCH else 0)
+
+    # greedy ladder decomposition, largest rung first
+    plan: list[tuple[wf.WavefrontConfig, int]] = []
+    rem = hb
+    for base in sorted(ladder, key=lambda c: -c.rows):
+        q, rem = divmod(rem, base.rows)
+        if q:
+            plan.append((base, q))
+    tb = (rem // 128) * 128
+    resid = rem - tb
+
+    pad0, pad1 = dev_pads(len(seq1))
+    s0r = wf.dev_seq(rev_seqs[0], wf.A_SENTINEL, pad0)
+    s1r = wf.dev_seq(rev_seqs[1], wf.B_SENTINEL, pad1)
+    i0_abs0 = len(seq0) - cp.i
+    j0_abs = len(seq1) - cp.j
+
+    def prep(c):
+        return dataclasses.replace(
+            c, recurrence=Recurrence.NEEDLEMAN_WUNSCH,
+            track_best=False, store_lastcol=False,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=go, gap_ext=ge, interpret=not on_tpu)
+
+    bh = bf = None
+    r_local = 0
+    carry0 = (jnp.int32(NEG), jnp.int32(0), jnp.int32(0))
+    for base, q in plan:
+        cfg_k = prep(base)
+        plen_k = wf.padded_len(cfg_k, W)
+        if bh is None:
+            bh, bf = wf.hop_bus_init(jnp.int32(row_code), W, plen_k,
+                                     go, ge)
+        else:
+            bh, bf = wf.bus_repad(bh, bf, plen_k)
+        for _ in range(q):
+            bh, bf, _ = wf.strip_step_sliced(
+                cfg_k, s0r, s1r, jnp.int32(i0_abs0 + r_local),
+                jnp.int32(j0_abs), jnp.int32(r_local),
+                jnp.int32(col_code), jnp.int32(W), bh, bf,
+                carry0, jnp.int32(0), W, False)
+            r_local += cfg_k.rows
+    if tb:
+        cfg_t = prep(bmm._TAIL_CFG)
+        plen_t = wf.padded_len(cfg_t, W)
+        if bh is None:
+            bh, bf = wf.hop_bus_init(jnp.int32(row_code), W, plen_t,
+                                     go, ge)
+        else:
+            bh, bf = wf.bus_repad(bh, bf, plen_t)
+        step_t = bmm._mosaic_dyn_step(cfg_t, W, 1, go, ge)
+        one = lambda v: jnp.asarray([v], jnp.int32)
+        bh, bf = step_t(s0r, s1r, one(i0_abs0), one(j0_abs),
+                        one(r_local), one(col_code), one(tb), one(W),
+                        bh[None], bf[None])
+        bh, bf = bh[0], bf[0]
+        r_local += tb
+    if resid:
+        if bh is None:
+            bh, bf = wf.hop_bus_init(jnp.int32(row_code), W, W, go, ge)
+        eng = rowsweep.batched_sweep_engine(
+            W + 1, 128, False, go, ge, params.match, params.mismatch)
+        one = lambda v: jnp.asarray([v], jnp.int32)
+        th, tf = eng(s0r, s1r, one(i0_abs0), one(j0_abs), one(r_local),
+                     one(col_code), bh[None, :W], bf[None, :W],
+                     one(resid))
+        bh, bf = th[0], tf[0]
+        r_local += resid
+    assert r_local == hb
+
+    rev0h = int(border_cells(1, col_init, params, start=hb)[0][0])
+    rev0f = _border_f_value(col_init, hb, params)
+    res = wf.goal_match_device(
+        cut[0], cut[1], bh, bf, jnp.int32(cp.j), jnp.int32(goal),
+        jnp.int32(rev0h), jnp.int32(rev0f), W1=W + 1, go=go)
+    pulled = np.asarray(res)
+    status, k, mscore = int(pulled[0]), int(pulled[1]), int(pulled[2])
+    if trace:
+        print(f"    [arb-hop] cp=({cp.i},{cp.j}) hb={hb} W={W} "
+              f"plan={[(c.rows, q) for c, q in plan]}+{tb}+{resid} "
+              f"status={status} t={_time.time()-t0:.2f}", flush=True)
+    if status not in (0, 1):
+        return None
+    return Crosspoint(r, cp.j - k, mscore,
+                      CrosspointType.MATCH if status == 0
+                      else CrosspointType.GAP_2)
+
+
 def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
                    specials, dev_cache, sw_anywhere: bool, rev_seqs,
                    cps: list, on_crosspoint, trace: bool):
@@ -853,6 +1002,19 @@ def reverse_march(
                 got = _run_hop_chain(seq0, seq1, params, cp, specials,
                                      dev_cache, sw_anywhere, rev_seqs,
                                      cps, on_crosspoint, _trace)
+                if got is None:
+                    # non-rung hop heights (the endpoint hop, truncated
+                    # spacings near the origin): the arbitrary-height
+                    # device decomposition
+                    got = _run_arb_hop(seq0, seq1, params, cp, specials,
+                                       dev_cache, sw_anywhere, rev_seqs,
+                                       backend, _trace)
+                    if got is not None:
+                        cps.append(got)
+                        if on_crosspoint:
+                            on_crosspoint(got)
+                        specials.truncate_above(got.i)
+                        dev_cache.truncate_above(got.i)
             except Exception as e:  # noqa: BLE001 — the host path is
                 # complete on its own; a chain failure (device OOM, a
                 # rejected kernel variant) must not kill the march

@@ -294,3 +294,61 @@ def test_hop_chain_matches_host_march(dna, homolog, start, monkeypatch):
     host = march(False)
     chained = march(True)
     assert [tuple(c) for c in chained] == [tuple(c) for c in host]
+
+
+@pytest.mark.slow
+def test_arb_hop_matches_host_march(dna, homolog, monkeypatch):
+    """The arbitrary-height endpoint hop (core._run_arb_hop): a global
+    march whose endpoint row is NOT rung-aligned (hb = 812 = one full
+    512-rung strip + a 256-row dyn-kernel tail + a 44-row residue) must
+    fire the device decomposition AND reproduce the host march's
+    crosspoints byte-identically."""
+    import numpy as np
+
+    from masa_tpu.stages import core, pipeline
+
+    s0 = dna(2 * 1024 + 812, seed=73)
+    # long unrelated prefix so the endpoint hop's 4096-wide window sits
+    # fully right of column 0 (the device-match precondition)
+    s1 = np.concatenate([dna(4200, seed=75), homolog(s0, seed=74)])
+    start = AlignmentStart.SEQUENCE_1_AND_2
+    pcfg = pipeline.PipelineConfig(
+        alignment_start=start, backend="scan", flush_interval=1024)
+    res, endpoint = pipeline.stage1_pass(s0, s1, pcfg)
+    assert endpoint.i % 1024 == 812  # the scenario's premise
+    row_init, col_init = pipeline._mode_inits(start)
+
+    fired = {"n": 0, "hit": 0}
+    orig = core._run_arb_hop
+
+    def spy(*a, **k):
+        fired["n"] += 1
+        got = orig(*a, **k)
+        if got is not None:
+            fired["hit"] += 1
+        return got
+
+    monkeypatch.setattr(core, "_run_arb_hop", spy)
+
+    def march(force_chain):
+        if force_chain:
+            monkeypatch.setenv("MASA_TPU_FORCE_HOP_CHAIN", "1")
+        else:
+            monkeypatch.delenv("MASA_TPU_FORCE_HOP_CHAIN",
+                               raising=False)
+        specials = core.SpecialRowStore()
+        specials._rows = dict(res.specials._rows)
+        dc = res.specials.dev_cache
+        cache = core.DevRowCache()
+        cache._rows = dict(dc._rows)
+        cache._borders = dict(dc._borders)
+        cache._bytes = dc._bytes
+        return core.reverse_march(
+            s0, s1, pcfg.params, endpoint, specials, row_init,
+            col_init, start, backend="scan", dev_cache=cache)
+
+    host = march(False)
+    assert fired["n"] == 0  # host path never consults the device hop
+    chained = march(True)
+    assert fired["hit"] >= 1, fired  # the endpoint hop ran on device
+    assert [tuple(c) for c in chained] == [tuple(c) for c in host]

@@ -131,7 +131,8 @@ def test_mosaic_tail_chains_beyond_sweep_rung(monkeypatch):
 
     monkeypatch.setattr(bmm, "_pallas_mm_cfg", fake_cfg)
     njq = 1024
-    dev = bmm._DevSeqs(s0, s1, pad0=4096, pad1=njq + 4096)
+    # pad1 covers the tail rung's padded slice (padded_len(_TAIL_CFG, njq))
+    dev = bmm._DevSeqs(s0, s1, pad0=4096, pad1=njq + 16384)
     halves = [bmm._Half(0, 700, 0, 750, 1, 1),
               bmm._Half(100, 690, 30, 700, 0, 2)]
     mh, mf = bmm._halves_mosaic(dev, halves, False, P, njq)

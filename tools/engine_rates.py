@@ -54,10 +54,18 @@ def main():
         # (label, B, h, w)  — per-direction level shapes
         ("1M-top level (B=32, h=16384, w=32768)", 32, 16384, 32768),
         ("mid level    (B=64, h=4096,  w=8192)", 64, 4096, 8192),
+        # the 5M run's level-4 class (records/big_run_5M_r4.log: 21 s in
+        # the row-sweep engine) — the round-4 reroute's justification
+        ("deep level   (B=256, h=2048, w=4096)", 256, 2048, 4096),
+        ("deep level   (B=512, h=512,  w=1024)", 512, 512, 1024),
+        # odd heights: exercises the batched dyn tail + residue path
+        ("odd level    (B=64, h=5000,  w=8192)", 64, 5000, 8192),
         ("23M-top level (B=8, h=131072, w=262144)", 8, 131072, 262144),
     ]
     for label, B, h, w in cases:
         njq = max(128, 1 << (w - 1).bit_length())
+        if h > 256:
+            njq = max(njq, 8192)  # production's deep-level width merge
         halves = []
         step_i = (m - h) // max(B, 1)
         step_j = (n - w) // max(B, 1)
