@@ -67,6 +67,9 @@ class LazyFullRow:
     def packed(self):
         return self.pull.packed()
 
+    def anchors(self, stride: int):
+        return self.pull.anchors(stride)
+
 
 class AlignerManager:
     def __init__(self, aligner, params: ScoreParams = ScoreParams()):

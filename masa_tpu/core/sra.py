@@ -29,9 +29,17 @@ from masa_tpu.io.rowcodec import CODECS, decode_row, encode_row
 MAGIC = b"MSR2"
 MAGIC_V1 = b"MSR1"
 MAGIC_PACKED = b"MSRP"
+MAGIC_ANCHORED = b"MSRQ"
 
 # in-flight lazy rows pin device snapshots; bound the pinned bytes
 _PENDING_CAP = 2 << 30
+
+# absolute-value anchors every ANCHOR_STRIDE cells inside MSRQ rows:
+# a ~6 KB index (gathered on device at flush, wf.gather_device) that
+# lets stage 2 decode an O(window) slice of a chromosome-scale row —
+# the full-row cumsum decode measured 4.3-5.7 s/row on this 1-core
+# host and dominated every DevRowCache-missed stage-2 hop at 23M
+ANCHOR_STRIDE = 1 << 16
 
 
 def _row_path(dirpath: str, r: int) -> str:
@@ -54,15 +62,20 @@ def write_row_packed(dirpath: str, r: int, lazy) -> int:
     """Persist a manager.LazyFullRow in the DEVICE's 4-bit delta form
     (two nibbles per byte + full-width escape lists): no host re-encode,
     ~16x smaller than the int64 pair.  decode on read is a vectorized
-    cumsum (wf.decode_packed_row)."""
+    cumsum (wf.decode_packed_row); absolute anchors every ANCHOR_STRIDE
+    cells make O(window) random access possible (read_row_window)."""
     (uh, mih, mvh), (uf, mif, mvf) = lazy.packed()
+    anc_h, anc_f = lazy.anchors(ANCHOR_STRIDE)
     count = lazy.count
     raw = b"".join([
-        MAGIC_PACKED,
-        struct.pack("<qqqqqqqq", r, count, lazy.border_h, lazy.border_f,
-                    len(uh), len(mih), len(uf), len(mif)),
+        MAGIC_ANCHORED,
+        struct.pack("<qqqqqqqqqq", r, count, lazy.border_h, lazy.border_f,
+                    len(uh), len(mih), len(uf), len(mif),
+                    ANCHOR_STRIDE, len(anc_h)),
         uh.tobytes(), mih.tobytes(), mvh.tobytes(),
         uf.tobytes(), mif.tobytes(), mvf.tobytes(),
+        np.asarray(anc_h, np.int64).tobytes(),
+        np.asarray(anc_f, np.int64).tobytes(),
     ])
     tmp = _row_path(dirpath, r) + ".tmp"
     with open(tmp, "wb") as fh:
@@ -71,9 +84,73 @@ def write_row_packed(dirpath: str, r: int, lazy) -> int:
     return len(raw)
 
 
+def _parse_anchored(raw: bytes):
+    """Field views into an MSRQ blob: (count, bh0, bf0, stride,
+    (uh, mih, mvh, anc_h), (uf, mif, mvf, anc_f))."""
+    (ridx, count, bh0, bf0, nuh, neh, nuf, nef,
+     stride, nanc) = struct.unpack_from("<qqqqqqqqqq", raw, 4)
+    off = 4 + 80
+    uh = np.frombuffer(raw, np.uint8, nuh, offset=off); off += nuh
+    mih = np.frombuffer(raw, np.int64, neh, offset=off); off += 8 * neh
+    mvh = np.frombuffer(raw, np.int64, neh, offset=off); off += 8 * neh
+    uf = np.frombuffer(raw, np.uint8, nuf, offset=off); off += nuf
+    mif = np.frombuffer(raw, np.int64, nef, offset=off); off += 8 * nef
+    mvf = np.frombuffer(raw, np.int64, nef, offset=off); off += 8 * nef
+    anc_h = np.frombuffer(raw, np.int64, nanc, offset=off); off += 8 * nanc
+    anc_f = np.frombuffer(raw, np.int64, nanc, offset=off)
+    return (count, bh0, bf0, stride,
+            (uh, mih, mvh, anc_h), (uf, mif, mvf, anc_f))
+
+
+def _decode_window(u, mi, mv, anc, stride: int, bus_lo: int, bus_hi: int
+                   ) -> np.ndarray:
+    """Decode bus positions [bus_lo, bus_hi) of a 4-bit delta stream
+    from the nearest preceding anchor — O(window + stride) instead of
+    O(n).  Nibble p lives at byte p//2 (low nibble for even p); escapes
+    (mi, mv) force absolute values exactly like decode_packed_row."""
+    if bus_hi <= bus_lo:
+        return np.empty(0, np.int64)
+    a = (bus_lo // stride) * stride
+    # nibbles for delta positions (a, bus_hi)
+    b0, b1 = (a + 1) // 2, (bus_hi + 1) // 2
+    seg = np.asarray(u[b0:b1], np.uint8)
+    lo_n = (seg & 0xF).astype(np.int64)
+    hi_n = (seg >> 4).astype(np.int64)
+    lo_n[lo_n > 7] -= 16
+    hi_n[hi_n > 7] -= 16
+    dh = np.empty(2 * len(seg), np.int64)
+    dh[0::2] = lo_n
+    dh[1::2] = hi_n
+    need = dh[(a + 1) - 2 * b0 : bus_hi - 2 * b0]
+    out = np.empty(bus_hi - a, np.int64)
+    out[0] = anc[a // stride]
+    np.cumsum(need, out=out[1:])
+    out[1:] += out[0]
+    s_lo = int(np.searchsorted(mi, a + 1))
+    s_hi = int(np.searchsorted(mi, bus_hi))
+    if s_hi > s_lo:
+        mm = (mi[s_lo:s_hi] - a).astype(np.int64)
+        corr = np.asarray(mv[s_lo:s_hi], np.int64) - out[mm]
+        add = np.zeros(bus_hi - a, np.int64)
+        add[mm] = np.diff(np.concatenate([[0], corr]))
+        out += np.cumsum(add)
+    return out[bus_lo - a :]
+
+
 def read_row(dirpath: str, r: int) -> tuple[np.ndarray, np.ndarray]:
     with open(_row_path(dirpath, r), "rb") as fh:
         raw = fh.read()
+    if raw[:4] == MAGIC_ANCHORED:
+        from masa_tpu.ops.wavefront import decode_packed_row
+
+        (count, bh0, bf0, _stride, ph, pf) = _parse_anchored(raw)
+        nj = count - 1
+        h = np.empty(count, np.int64)
+        f = np.empty(count, np.int64)
+        h[0], f[0] = bh0, bf0
+        h[1:] = decode_packed_row(ph[0], ph[1], ph[2], nj)
+        f[1:] = decode_packed_row(pf[0], pf[1], pf[2], nj)
+        return h, f
     if raw[:4] == MAGIC_PACKED:
         from masa_tpu.ops.wavefront import decode_packed_row
 
@@ -103,6 +180,29 @@ def read_row(dirpath: str, r: int) -> tuple[np.ndarray, np.ndarray]:
         raise IOError(f"corrupt special row {r} in {dirpath}")
     codec_id, ridx, count = struct.unpack_from("<Bqq", raw, 4)
     return decode_row(CODECS[codec_id], raw[21:], count)
+
+
+def read_row_window(dirpath: str, r: int, lo: int, hi: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(h[lo:hi], f[lo:hi]) of the stored row in FULL-ROW indexing
+    (element 0 = border).  MSRQ rows decode only O(hi-lo) cells from the
+    anchor index; other formats fall back to the full decode."""
+    with open(_row_path(dirpath, r), "rb") as fh:
+        raw = fh.read()
+    if raw[:4] != MAGIC_ANCHORED:
+        h, f = read_row(dirpath, r)
+        return h[lo:hi], f[lo:hi]
+    (count, bh0, bf0, stride, ph, pf) = _parse_anchored(raw)
+    hi = min(hi, count)
+    if hi <= lo:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    bus_lo, bus_hi = max(lo - 1, 0), hi - 1
+    hw = _decode_window(ph[0], ph[1], ph[2], ph[3], stride, bus_lo, bus_hi)
+    fw = _decode_window(pf[0], pf[1], pf[2], pf[3], stride, bus_lo, bus_hi)
+    if lo == 0:
+        hw = np.concatenate([[bh0], hw])
+        fw = np.concatenate([[bf0], fw])
+    return hw, fw
 
 
 class SpecialRowsPartition:
@@ -255,6 +355,24 @@ class SpecialRowsPartition:
             if rp == r:
                 return lazy.full_rows()
         return read_row(self.dir, r)
+
+    def get_window(self, r: int, lo: int, hi: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """(h[lo:hi], f[lo:hi]) in FULL-ROW indexing, decoding only the
+        window for anchored disk rows — the stage-2 match needs a few
+        hundred KB of a chromosome-scale row, not all of it."""
+        if r in self._ram:
+            v = self._ram[r]
+            if not isinstance(v, tuple):
+                self.get(r)          # materialize the lazy row once
+                v = self._ram[r]
+            return (v[0][lo:hi].astype(np.int64),
+                    v[1][lo:hi].astype(np.int64))
+        for rp, lazy in self._pending:
+            if rp == r:
+                h, f = lazy.full_rows()
+                return h[lo:hi], f[lo:hi]
+        return read_row_window(self.dir, r, lo, hi)
 
     def rows(self) -> list[int]:
         return sorted(set(self._ram) | self._disk

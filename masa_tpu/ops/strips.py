@@ -110,6 +110,16 @@ class RowPull:
         self.start()
         return wf.packed_row_host(self._hh), wf.packed_row_host(self._hf)
 
+    def anchors(self, stride: int):
+        """(anc_h, anc_f) int64 absolute values at bus positions
+        0, stride, 2*stride, ... < nj, gathered ON DEVICE (a few hundred
+        scalars) — the random-access index that lets stage 2 decode just
+        a match window out of a disk row instead of all O(n) of it."""
+        idx = jnp.asarray(np.arange(0, self.nj, stride, np.int32))
+        ah = np.asarray(wf.gather_device(self.dev_h, idx)).astype(np.int64)
+        af = np.asarray(wf.gather_device(self.dev_f, idx)).astype(np.int64)
+        return ah, af
+
 
 @dataclasses.dataclass
 class PartitionResult:

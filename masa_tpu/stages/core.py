@@ -42,6 +42,10 @@ from masa_tpu.types import (
 
 NEG = -INF
 
+# per-hop phase accumulators, filled under MASA_TPU_STAGE2_TRACE and
+# printed by reverse_march's [hop] lines (reset per hop)
+_PROF: dict = {}
+
 
 class SpecialRowStore:
     """RAM special-row store: row index -> ((n+1,) H, (n+1,) F) including
@@ -66,6 +70,11 @@ class SpecialRowStore:
             v = v.full_rows()
             self._rows[r] = v
         return v
+
+    def get_window(self, r: int, lo: int, hi: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        h, f = self.get(r)
+        return h[lo:hi], f[lo:hi]
 
     def finalize(self) -> None:
         pass
@@ -514,6 +523,7 @@ def reverse_pass_and_match(
     free_col_start: bool = False,
     dev_cut: tuple | None = None,
     fwd_rows_fn=None,
+    dev_cut_off: int = 0,
 ) -> ReverseMatch:
     """One reverse partition: from crosspoint `cp` up to `cut_row`,
     columns [j_low, cp.j], matched against the stored forward cut.
@@ -533,6 +543,11 @@ def reverse_pass_and_match(
     backend, window not touching column 0), the whole match runs on
     device and fwd_h/fwd_f may be None — ``fwd_rows_fn()`` lazily loads
     the host row only if the host path is needed after all.
+
+    ``dev_cut_off``: bus index of dev_cut's element 0 (0 for full-row
+    DevRowCache snapshots; ``j_low - 1`` for a WINDOWED cut uploaded
+    from an SRA window read — the goal match slices with traced
+    indices, so only the cj passed to it shifts).
     """
     from masa_tpu.core.manager import AlignerManager
     from masa_tpu.types import Partition
@@ -565,7 +580,15 @@ def reverse_pass_and_match(
     fwd_cut_h = fwd_cut_f = None
     if not use_dev:
         if fwd_h is None:
-            fwd_h, fwd_f = fwd_rows_fn()
+            import os as _os
+            import time as _tm
+
+            if _os.environ.get("MASA_TPU_STAGE2_TRACE"):
+                _tg = _tm.time()
+                fwd_h, fwd_f = fwd_rows_fn()
+                _PROF["get"] = _PROF.get("get", 0.0) + _tm.time() - _tg
+            else:
+                fwd_h, fwd_f = fwd_rows_fn()
         fwd_cut_h = np.asarray(fwd_h, np.int64)[j_low : cj + 1][::-1]
         fwd_cut_f = np.asarray(fwd_f, np.int64)[j_low : cj + 1][::-1]
     if width == 0:
@@ -600,7 +623,8 @@ def reverse_pass_and_match(
         mgr.reverse_f0 = _border_f_value(col_init, hb, params)
         if use_dev:
             mgr.set_goal_score(goal, base_row=None)
-            mgr.goal_base_dev = (dev_cut[0], dev_cut[1], cj, width + 1)
+            mgr.goal_base_dev = (dev_cut[0], dev_cut[1], cj - dev_cut_off,
+                                 width + 1)
         else:
             mgr.set_goal_score(goal, base_row=(fwd_cut_h, fwd_cut_f))
         if rev_seqs is not None:
@@ -614,7 +638,16 @@ def reverse_pass_and_match(
             aligner.set_sequences(
                 np.ascontiguousarray(seq0[cut_row:ci][::-1]),
                 np.ascontiguousarray(seq1[j_low:cj][::-1]))
-        mgr.align_partition(part)
+        import os as _os
+        import time as _tm
+
+        if _os.environ.get("MASA_TPU_STAGE2_TRACE"):
+            _tp = _tm.time()
+            mgr.align_partition(part)
+            _PROF["align"] = _PROF.get("align", 0.0) + _tm.time() - _tp
+            _PROF["align_n"] = _PROF.get("align_n", 0) + 1
+        else:
+            mgr.align_partition(part)
         best = mgr.best[0]
         best_pq = (mgr.best[1] - part.i0, mgr.best[2] - part.j0)
         rev_col = None
@@ -857,6 +890,13 @@ def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
         return None
     if cp.j < W + 1:
         return None
+    # chains pay off where the per-hop verdict-pull sync dominates
+    # (small hops); at chromosome spacing the hop is compute-dominated
+    # and the per-hop device path runs the same DP ~6x faster than the
+    # chained hop step (measured: 0.22 s vs 1.45 s at 131072 x 262144),
+    # so big hops fall through to it
+    if hb * W >= 8_000_000_000:
+        return None
     # per-hop window/goal-reachability eligibility is checked ON DEVICE
     # with the live (cj, score) — the host only needs each cut resident
     # and the row run aligned; the 32-hop cap bounds the compute wasted
@@ -924,6 +964,41 @@ def _run_hop_chain(seq0, seq1, params: ScoreParams, cp: Crosspoint,
         print(f"    [chain] {done}/{len(rows)} hops hb={hb} W={W} "
               f"t={_time.time()-t0:.2f}", flush=True)
     return cp if done else None
+
+
+def _windowed_cut_ok(backend: str, hb: int, width: int) -> bool:
+    """Would the host path run this hop through the kernel on device?
+    (Mirrors reverse_pass_and_match's backend resolution; the windowed
+    upload only pays where the device match engages.)"""
+    import os as _os
+
+    if backend == "numpy" or width <= 0:
+        return False
+    if backend == "auto" and hb * width < 16_000_000:
+        return False
+    import jax as _jax
+
+    return (_jax.default_backend() == "tpu"
+            or bool(_os.environ.get("MASA_TPU_FORCE_WINDOW_CUT")))
+
+
+def _fetch_window_cut(specials, r: int, cj: int, j_low: int):
+    """Upload the stored cut's [j_low, cj] column window as a device
+    cut buffer (an SRA get_window is O(window) for anchored rows).
+    Returns ((dev_h, dev_f, h0, f0), cut_off) or None; cut_off is the
+    bus index of the buffer's element 0 (reverse_pass_and_match shifts
+    the cj it hands the device matcher by it)."""
+    get_window = getattr(specials, "get_window", None)
+    if get_window is None:
+        return None
+    import jax.numpy as jnp
+
+    wh, wf_ = get_window(r, j_low, cj + 1)
+    if len(wh) != cj + 1 - j_low:
+        return None
+    dev_h = jnp.asarray(np.ascontiguousarray(wh, np.int32))
+    dev_f = jnp.asarray(np.ascontiguousarray(wf_, np.int32))
+    return (dev_h, dev_f, 0, 0), j_low - 1
 
 
 def reverse_march(
@@ -1026,20 +1101,31 @@ def reverse_march(
                 cp = got
                 continue
 
+        _t_hop = _time.time()
         r = specials.next_below(cp.i, min_dist)
         dev_cut = None
         fwd_rows_fn = None
+        window_viable = False
         if r is None or r == 0:
             r = 0
             fh = row0_h.astype(np.int64)
             ff = np.full(n + 1, NEG, np.int64)
         else:
             dev_cut = dev_cache.get(r) if dev_cache is not None else None
-            if dev_cut is None:
-                fh, ff = specials.get(r)
+            window_viable = (dev_cut is None
+                             and _windowed_cut_ok(backend, cp.i - r, cp.j))
+            if dev_cut is None and not window_viable:
+                if _trace:
+                    _tg = _time.time()
+                    fh, ff = specials.get(r)
+                    _PROF["get"] = (_PROF.get("get", 0.0)
+                                    + _time.time() - _tg)
+                else:
+                    fh, ff = specials.get(r)
             else:
-                # device-resident cut: load the host row lazily, only if
-                # a window attempt falls back to the host match
+                # device-resident or windowed cut: load the host row
+                # lazily, only if a window attempt falls back to the
+                # host match
                 fh = ff = None
                 fwd_rows_fn = (lambda r_=r: specials.get(r_))
 
@@ -1050,18 +1136,35 @@ def reverse_march(
 
         width0 = initial_window(cp, r, backend)
         j_low = cp.j - width0
-        _t_hop = _time.time()
         _tries = 0
         while True:
             _tries += 1
             at_edge = j_low <= 0
+            dev_cut_eff, cut_off = dev_cut, 0
+            if window_viable and j_low > 0:
+                # replicate the callee's pow2 window quantization so the
+                # uploaded cut buffer covers exactly the window it slices
+                want_q = 1 << (cp.j - j_low - 1).bit_length()
+                j_low_q = max(cp.j - want_q, 0)
+                if (j_low_q >= 1
+                        and _windowed_cut_ok(backend, cp.i - r,
+                                             cp.j - j_low_q)):
+                    if _trace:
+                        _tg = _time.time()
+                    got = _fetch_window_cut(specials, r, cp.j, j_low_q)
+                    if _trace:
+                        _PROF["win"] = (_PROF.get("win", 0.0)
+                                        + _time.time() - _tg)
+                    if got is not None:
+                        dev_cut_eff, cut_off = got
             rm = reverse_pass_and_match(
                 seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
                 goal_anywhere, backend=backend, cfg=cfg,
                 rev_seqs=rev_seqs,
                 want_rev_col=free_col and at_edge,
                 free_col_start=free_col,
-                dev_cut=dev_cut, fwd_rows_fn=fwd_rows_fn,
+                dev_cut=dev_cut_eff, fwd_rows_fn=fwd_rows_fn,
+                dev_cut_off=cut_off,
             )
             if rm.start_found:
                 si, sj = rm.start
@@ -1081,10 +1184,13 @@ def reverse_march(
                 )
             j_low = cp.j - 2 * (cp.j - j_low)
         if _trace:
+            _ph = " ".join(f"{k}={v:.2f}" if isinstance(v, float) else
+                           f"{k}={v}" for k, v in sorted(_PROF.items()))
+            _PROF.clear()
             print(f"    [hop] cp=({cp.i},{cp.j}) r={r} hb={cp.i - r} "
                   f"w0={width0} tries={_tries} "
                   f"dev={'y' if dev_cut is not None else 'n'} "
-                  f"t={_time.time()-_t_hop:.2f}", flush=True)
+                  f"t={_time.time()-_t_hop:.2f} {_ph}", flush=True)
         cp = rm.crosspoint
         cps.append(cp)
         if on_crosspoint:

@@ -94,6 +94,9 @@ class _OffsetStore:
     def get(self, r):
         return self.part.get(r)
 
+    def get_window(self, r, lo, hi):
+        return self.part.get_window(r, lo, hi)
+
     def rows(self):
         return self.part.rows()
 

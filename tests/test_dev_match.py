@@ -98,6 +98,59 @@ def test_dev_match_march_parity(dna, homolog, monkeypatch):
     assert calls["host"] <= calls["dev"], calls
 
 
+def test_windowed_cut_march_parity(dna, homolog, monkeypatch):
+    """With NO DevRowCache (the 23M eviction / crash-resume regime), the
+    march must take the WINDOWED device-cut path — an O(window) SRA read
+    uploaded as a cut buffer, matched on device — and produce the exact
+    host-path crosspoint chain."""
+    s0 = dna(4 * R + 33, seed=603)
+    s1 = np.concatenate([dna(12000, seed=699), homolog(s0, seed=604)])
+    res, store, cache = _stage1_with_cache(s0, s1)
+    from masa_tpu.types import Crosspoint, CrosspointType
+
+    ep = Crosspoint(res.best_i, res.best_j, res.best,
+                    CrosspointType.MATCH)
+
+    import copy
+
+    ref = core.reverse_march(
+        s0, s1, P, ep, copy.deepcopy(store),
+        InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+        AlignmentStart.ANYWHERE, backend="numpy",
+    )
+
+    calls = {"win": 0, "dev": 0}
+    fetch_orig = core._fetch_window_cut
+
+    def count_fetch(*a, **k):
+        out = fetch_orig(*a, **k)
+        if out is not None:
+            calls["win"] += 1
+        return out
+
+    from masa_tpu.core.manager import AlignerManager
+
+    dev_orig = AlignerManager.dispatch_last_row_device
+
+    def count_dev(self, *a, **k):
+        calls["dev"] += 1
+        return dev_orig(self, *a, **k)
+
+    monkeypatch.setattr(core, "_fetch_window_cut", count_fetch)
+    monkeypatch.setattr(AlignerManager, "dispatch_last_row_device",
+                        count_dev)
+    monkeypatch.setenv("MASA_TPU_FORCE_WINDOW_CUT", "1")
+
+    got = core.reverse_march(
+        s0, s1, P, ep, store,
+        InitType.WITH_ZEROES, InitType.WITH_ZEROES,
+        AlignmentStart.ANYWHERE, backend="scan", cfg=CFG,
+        dev_cache=None,
+    )
+    assert [tuple(c) for c in got] == [tuple(c) for c in ref]
+    assert calls["win"] >= 2 and calls["dev"] >= 2, calls
+
+
 def test_dev_match_verdicts_match_host(dna, homolog):
     """goal_match_device against the host match_column on the same cut:
     identical (found, k, score, type) across windows including misses."""

@@ -345,7 +345,7 @@ class TestLazySpecialRows:
                                       "row.*.bin"))
         assert rows
         with open(rows[0], "rb") as fh:
-            assert fh.read(4) == b"MSRP"
+            assert fh.read(4) == b"MSRQ"   # anchored packed rows
         # crash-resume: a fresh job re-reads packed rows for stage 2
         job2 = Job(cfg)
         cps = runner.stage2(job2, s0, s1, log=lambda *a: None)

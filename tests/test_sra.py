@@ -150,6 +150,11 @@ class _FakePull:
                     (wf.delta_pack_device(self._f, self.nj), self._f,
                      self.nj)))
 
+    def anchors(self, stride):
+        idx = np.arange(0, self.nj, stride)
+        return (np.asarray(self._h)[idx].astype(np.int64),
+                np.asarray(self._f)[idx].astype(np.int64))
+
 
 def _lazy_row(n, base=0, spike=None):
     from masa_tpu.core.manager import LazyFullRow
@@ -174,6 +179,48 @@ class TestLazyRows:
         assert rh[0] == -3 and rf[0] == -777
         np.testing.assert_array_equal(rh[1:], h)
         np.testing.assert_array_equal(rf[1:], f)
+
+    def test_window_read_matches_full(self, tmp_path):
+        """read_row_window (anchored partial decode) == read_row slices,
+        across windows that cross anchors and escapes."""
+        import masa_tpu.core.sra as sra
+        from masa_tpu.core.sra import (read_row, read_row_window,
+                                       write_row_packed)
+
+        n = 200_000    # > 3 anchor strides (ANCHOR_STRIDE = 65536)
+        lazy, h, f = _lazy_row(n, base=11,
+                               spike=[3, 65535, 65536, 150001, n - 1])
+        write_row_packed(str(tmp_path), 9, lazy)
+        fh, ff = read_row(str(tmp_path), 9)
+        for lo, hi in [(0, 64), (1, 64), (65530, 65700), (65536, 65537),
+                       (123456, 131073), (149999, 150050),
+                       (n - 10, n + 1), (0, n + 1), (70000, 70000)]:
+            wh, wf_ = read_row_window(str(tmp_path), 9, lo, hi)
+            np.testing.assert_array_equal(wh, fh[lo:hi])
+            np.testing.assert_array_equal(wf_, ff[lo:hi])
+
+    def test_partition_get_window_all_placements(self, tmp_path):
+        """get_window agrees with get() slices for RAM-tuple, lazy-RAM,
+        pending and disk rows."""
+        import masa_tpu.core.sra as sra
+
+        d = str(tmp_path / "p")
+        p = SpecialRowsPartition(d, 0, 0, 100, 4096,
+                                 ram_limit=1 << 30, disk_limit=1 << 30)
+        p.put(10, *rows_of(600, 0))                 # RAM tuple
+        lazy, _, _ = _lazy_row(600, base=3)
+        p._ram[20] = lazy                           # lazy RAM row
+        p._ram_bytes += 8 * lazy.count + 20
+        lazy2, _, _ = _lazy_row(600, base=5, spike=[7])
+        p._disk_bytes += sra.write_row_packed(d, 30, lazy2)  # disk
+        p._disk.add(30)
+        wins = [(0, 5), (1, 10), (250, 601), (598, 601)]
+        for r in (10, 20, 30):
+            got = [p.get_window(r, lo, hi) for lo, hi in wins]
+            fh, ff = p.get(r)      # AFTER windows: the lazy branch runs
+            for (lo, hi), (wh, wf_) in zip(wins, got):
+                np.testing.assert_array_equal(wh, fh[lo:hi])
+                np.testing.assert_array_equal(wf_, ff[lo:hi])
 
     def test_ram_lazy_never_transfers_until_read(self, tmp_path):
         p = SpecialRowsPartition(str(tmp_path / "p"), 0, 0, 10, 4096,
