@@ -23,6 +23,16 @@ from masa_tpu.ops import wavefront as wf
 from masa_tpu.types import INF, InitType, Recurrence, ScoreParams
 
 
+import os as _osm
+
+# The unfused windowed strip path pays ~2-3 s of per-strip dispatch +
+# sync on the tunneled chip; pruning narrows the strip only when the
+# skipped cells buy that back at the kernel's sustained rate.
+_WINDOWED_OVERHEAD_S = float(
+    _osm.environ.get("MASA_TPU_WINDOWED_OVERHEAD_S", "2.5"))
+_WINDOWED_RATE = float(_osm.environ.get("MASA_TPU_WINDOWED_RATE", "150e9"))
+
+
 def pl_cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -438,12 +448,18 @@ def run_partition(
                     busmax0, best, i0, m, nj_out, C, params,
                     border_max=int(ich0.max()),
                 )
-                # windowed strips only pay once the window is SMALL: the
-                # unfused windowed path costs ~2-3 s of dispatch/sync per
-                # strip on the tunnel, so the saved compute must exceed
-                # it (measured: a 6.7%-pruned 1M run was 24 s SLOWER
-                # windowed)
-                wide = wl0 < wr0 and (wr0 - wl0) * 8 >= ng
+                # Cost-based narrowing: the unfused windowed path costs
+                # ~2-3 s of dispatch/sync per strip on the tunnel, so it
+                # pays only when the PRUNED CELLS buy that back at the
+                # kernel's rate.  At 1M a full strip is ~0.9 s, so even a
+                # half-empty window stays fused (measured round 3: a
+                # 6.7%-pruned 1M run was 24 s SLOWER windowed); at 23M a
+                # strip is ~22 s and a 40% window saves ~9 s/strip —
+                # the first 23M run pruned ZERO cells under the old
+                # fixed 1/8-of-chunks gate.
+                saved_s = ((ng - max(wr0 - wl0, 0)) * C * hs
+                           / _WINDOWED_RATE)
+                wide = wl0 < wr0 and saved_s < _WINDOWED_OVERHEAD_S
                 if wide and (wr0 - wl0) * 8 >= ng * 7:
                     prune_skip = 3
         if (backend == "pallas" and hs == R and (not prune or wide)
