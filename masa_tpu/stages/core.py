@@ -1102,93 +1102,116 @@ def reverse_march(
                 continue
 
         _t_hop = _time.time()
-        r = specials.next_below(cp.i, min_dist)
-        dev_cut = None
-        fwd_rows_fn = None
-        window_viable = False
-        if r is None or r == 0:
-            r = 0
-            fh = row0_h.astype(np.int64)
-            ff = np.full(n + 1, NEG, np.int64)
-        else:
-            dev_cut = dev_cache.get(r) if dev_cache is not None else None
-            window_viable = (dev_cut is None
-                             and _windowed_cut_ok(backend, cp.i - r, cp.j))
-            if dev_cut is None and not window_viable:
-                if _trace:
-                    _tg = _time.time()
-                    fh, ff = specials.get(r)
-                    _PROF["get"] = (_PROF.get("get", 0.0)
-                                    + _time.time() - _tg)
-                else:
-                    fh, ff = specials.get(r)
-            else:
-                # device-resident or windowed cut: load the host row
-                # lazily, only if a window attempt falls back to the
-                # host match
-                fh = ff = None
-                fwd_rows_fn = (lambda r_=r: specials.get(r_))
-
-        goal_anywhere = sw_anywhere and goal_reachable(cp, r, params.match)
-        # free column border: the path may start mid-border at (i, 0)
-        free_col = (not sw_anywhere
-                    and col_init == InitType.WITH_ZEROES)
-
-        width0 = initial_window(cp, r, backend)
-        j_low = cp.j - width0
-        _tries = 0
+        _dist = min_dist
+        _row_tries = 0
         while True:
-            _tries += 1
-            at_edge = j_low <= 0
-            dev_cut_eff, cut_off = dev_cut, 0
-            if window_viable and j_low > 0:
-                # replicate the callee's pow2 window quantization so the
-                # uploaded cut buffer covers exactly the window it slices
-                want_q = 1 << (cp.j - j_low - 1).bit_length()
-                j_low_q = max(cp.j - want_q, 0)
-                if (j_low_q >= 1
-                        and _windowed_cut_ok(backend, cp.i - r,
-                                             cp.j - j_low_q)):
+            # row-widen loop: a full-width miss at a special row skips
+            # that row and rematches at the next one below (reachable
+            # when a caller's min_dist > 1 skips past the start's own
+            # row, or when a stored row cannot produce a match); only a
+            # full-width miss at virtual row 0 is a genuinely lost
+            # backtrace.  The reference aborts on any full-width miss
+            # (stage2/sw_stage2.cpp:115-118) because its stage-3
+            # min-distance never skips the goal row; ours is
+            # caller-configurable (PipelineConfig.min_dist).
+            _row_tries += 1
+            r = specials.next_below(cp.i, _dist)
+            dev_cut = None
+            fwd_rows_fn = None
+            window_viable = False
+            if r is None or r == 0:
+                r = 0
+                fh = row0_h.astype(np.int64)
+                ff = np.full(n + 1, NEG, np.int64)
+            else:
+                dev_cut = (dev_cache.get(r)
+                           if dev_cache is not None else None)
+                window_viable = (dev_cut is None
+                                 and _windowed_cut_ok(backend, cp.i - r,
+                                                      cp.j))
+                if dev_cut is None and not window_viable:
                     if _trace:
                         _tg = _time.time()
-                    got = _fetch_window_cut(specials, r, cp.j, j_low_q)
-                    if _trace:
-                        _PROF["win"] = (_PROF.get("win", 0.0)
+                        fh, ff = specials.get(r)
+                        _PROF["get"] = (_PROF.get("get", 0.0)
                                         + _time.time() - _tg)
-                    if got is not None:
-                        dev_cut_eff, cut_off = got
-            rm = reverse_pass_and_match(
-                seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
-                goal_anywhere, backend=backend, cfg=cfg,
-                rev_seqs=rev_seqs,
-                want_rev_col=free_col and at_edge,
-                free_col_start=free_col,
-                dev_cut=dev_cut_eff, fwd_rows_fn=fwd_rows_fn,
-                dev_cut_off=cut_off,
-            )
-            if rm.start_found:
-                si, sj = rm.start
-                cp = Crosspoint(si, sj, 0, CrosspointType.MATCH)
-                cps.append(cp)
-                if on_crosspoint:
-                    on_crosspoint(cp)
-                return list(reversed(cps))
+                    else:
+                        fh, ff = specials.get(r)
+                else:
+                    # device-resident or windowed cut: load the host row
+                    # lazily, only if a window attempt falls back to the
+                    # host match
+                    fh = ff = None
+                    fwd_rows_fn = (lambda r_=r: specials.get(r_))
+
+            goal_anywhere = (sw_anywhere
+                             and goal_reachable(cp, r, params.match))
+            # free column border: the path may start mid-border at (i, 0)
+            free_col = (not sw_anywhere
+                        and col_init == InitType.WITH_ZEROES)
+
+            width0 = initial_window(cp, r, backend)
+            j_low = cp.j - width0
+            _tries = 0
+            while True:
+                _tries += 1
+                at_edge = j_low <= 0
+                dev_cut_eff, cut_off = dev_cut, 0
+                if window_viable and j_low > 0:
+                    # replicate the callee's pow2 window quantization so
+                    # the uploaded cut buffer covers exactly the window
+                    # it slices
+                    want_q = 1 << (cp.j - j_low - 1).bit_length()
+                    j_low_q = max(cp.j - want_q, 0)
+                    if (j_low_q >= 1
+                            and _windowed_cut_ok(backend, cp.i - r,
+                                                 cp.j - j_low_q)):
+                        if _trace:
+                            _tg = _time.time()
+                        got = _fetch_window_cut(specials, r, cp.j,
+                                                j_low_q)
+                        if _trace:
+                            _PROF["win"] = (_PROF.get("win", 0.0)
+                                            + _time.time() - _tg)
+                        if got is not None:
+                            dev_cut_eff, cut_off = got
+                rm = reverse_pass_and_match(
+                    seq0, seq1, params, cp, r, fh, ff, max(j_low, 0),
+                    goal_anywhere, backend=backend, cfg=cfg,
+                    rev_seqs=rev_seqs,
+                    want_rev_col=free_col and at_edge,
+                    free_col_start=free_col,
+                    dev_cut=dev_cut_eff, fwd_rows_fn=fwd_rows_fn,
+                    dev_cut_off=cut_off,
+                )
+                if rm.start_found:
+                    si, sj = rm.start
+                    cp = Crosspoint(si, sj, 0, CrosspointType.MATCH)
+                    cps.append(cp)
+                    if on_crosspoint:
+                        on_crosspoint(cp)
+                    return list(reversed(cps))
+                if rm.crosspoint is not None or j_low <= 0:
+                    break
+                j_low = cp.j - 2 * (cp.j - j_low)
             if rm.crosspoint is not None:
                 break
-            if j_low <= 0:
-                # full width failed: widen over rows instead (skip this
-                # special row — can happen when min_dist skipped past the
-                # crosspoint's own row)
+            if r == 0:
                 raise RuntimeError(
                     f"Backtrace lost: no match at special row {r}"
                 )
-            j_low = cp.j - 2 * (cp.j - j_low)
+            # full width failed at a stored row: skip it and rematch at
+            # the next special row below
+            _dist = cp.i - r + 1
+            if _trace:
+                print(f"    [hop] full-width miss at r={r}; widening "
+                      f"over rows (dist={_dist})", flush=True)
         if _trace:
             _ph = " ".join(f"{k}={v:.2f}" if isinstance(v, float) else
                            f"{k}={v}" for k, v in sorted(_PROF.items()))
             _PROF.clear()
             print(f"    [hop] cp=({cp.i},{cp.j}) r={r} hb={cp.i - r} "
-                  f"w0={width0} tries={_tries} "
+                  f"w0={width0} tries={_tries} rows={_row_tries} "
                   f"dev={'y' if dev_cut is not None else 'n'} "
                   f"t={_time.time()-_t_hop:.2f} {_ph}", flush=True)
         cp = rm.crosspoint

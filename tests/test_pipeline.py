@@ -352,3 +352,66 @@ def test_arb_hop_matches_host_march(dna, homolog, monkeypatch):
     chained = march(True)
     assert fired["hit"] >= 1, fired  # the endpoint hop ran on device
     assert [tuple(c) for c in chained] == [tuple(c) for c in host]
+
+
+class _PoisonStore:
+    """SpecialRowStore wrapper that makes ONE row unmatchable (all-NEG):
+    every width attempt at it misses, driving reverse_march's full-width
+    miss path."""
+
+    def __init__(self, inner, bad_row):
+        self.inner = inner
+        self.bad = bad_row
+
+    def get(self, r):
+        from masa_tpu.stages import core
+
+        h, f = self.inner.get(r)
+        if r == self.bad:
+            return (np.full_like(h, core.NEG), np.full_like(f, core.NEG))
+        return h, f
+
+    def rows(self):
+        return self.inner.rows()
+
+    def next_below(self, i, min_dist=1):
+        return self.inner.next_below(i, min_dist)
+
+    def truncate_above(self, i):
+        return self.inner.truncate_above(i)
+
+
+def test_reverse_march_widens_over_rows(dna, homolog):
+    """A full-width miss at a stored special row must SKIP that row and
+    rematch at the next one below (reverse_march's row-widen loop)
+    instead of aborting.  The reference aborts on any full-width miss
+    (stage2/sw_stage2.cpp:115-118); we recover because min_dist is
+    caller-configurable and a skipped row is strictly safe to match
+    below."""
+    from masa_tpu.stages import core
+
+    s0 = dna(4096, seed=91)
+    s1 = homolog(s0, seed=92)
+    start = AlignmentStart.SEQUENCE_1_AND_2
+    pcfg = pipeline.PipelineConfig(
+        alignment_start=start, backend="numpy", flush_interval=512)
+    res, endpoint = pipeline.stage1_pass(s0, s1, pcfg)
+    row_init, col_init = pipeline._mode_inits(start)
+    stored = res.specials.rows()
+    assert len(stored) >= 3
+    bad = stored[len(stored) // 2]
+
+    def march(store):
+        specials = core.SpecialRowStore()
+        specials._rows = dict(res.specials._rows)
+        return core.reverse_march(
+            s0, s1, pcfg.params, endpoint, store(specials), row_init,
+            col_init, start, backend="numpy")
+
+    clean = march(lambda s: s)
+    poisoned = march(lambda s: _PoisonStore(s, bad))
+    # the poisoned march recovers: same path, minus the unmatchable row
+    assert any(c.i == bad for c in clean)
+    assert not any(c.i == bad for c in poisoned)
+    assert ([tuple(c) for c in poisoned]
+            == [tuple(c) for c in clean if c.i != bad])
