@@ -197,6 +197,7 @@ class FwdResult:
     cells: int
     col_h: np.ndarray | None = None  # (m+1,) last column H if requested
     col_e: np.ndarray | None = None
+    pruned_cells: int = 0
 
 
 def make_aligner(backend: str, rows: int,
@@ -292,7 +293,8 @@ def forward_pass(
     if want_lastcol and mgr.last_column is not None:
         _, col_h, col_e = mgr.last_column
     return FwdResult(lh, lf, best, best_i, best_j, store,
-                     aligner.stats.cells, col_h=col_h, col_e=col_e)
+                     aligner.stats.cells, col_h=col_h, col_e=col_e,
+                     pruned_cells=aligner.stats.pruned_cells)
 
 
 _DEFAULT_CFG = None
@@ -340,12 +342,21 @@ def adaptive_config(rows: int) -> wf.WavefrontConfig:
     return best
 
 
+def _envf(name: str, default: float) -> float:
+    import os
+
+    v = os.environ.get(name)
+    return float(v) if v else default
+
+
 # measured on the tunneled v5e: fused Mosaic strips sustain ~150 GCUPS,
 # the scan twin (which partial strips fall back to) ~3 GCUPS, and a
-# fused dispatch costs ~20 ms
-_KERNEL_GCUPS = 150e9
-_SCAN_GCUPS = 3e9
-_DISPATCH_S = 0.02
+# fused dispatch costs ~20 ms.  tools/calibrate.py re-measures every
+# constant on the current chip and prints the env overrides; see
+# records/calibrate_*.log for how each number was obtained.
+_KERNEL_GCUPS = _envf("MASA_TPU_KERNEL_GCUPS", 150e9)
+_SCAN_GCUPS = _envf("MASA_TPU_SCAN_GCUPS", 3e9)
+_DISPATCH_S = _envf("MASA_TPU_DISPATCH_S", 0.02)
 
 # Per-rung sustained rates.  The R=131072 rung is measured (README
 # roofline, 150-162 GCUPS); the others are extrapolations from the op
@@ -394,8 +405,8 @@ def partition_config(rows: int, width: int) -> wf.WavefrontConfig:
 # stage-2 per-hop fixed cost (device goal match + scalar verdict pull +
 # host bookkeeping) and the batched stage-4 engine's sustained rate
 # (from the [level] traces of 1M runs: top levels ~13 GCUPS)
-_HOP_SYNC_S = 0.06
-_MM_GCUPS = 13e9
+_HOP_SYNC_S = _envf("MASA_TPU_HOP_SYNC_S", 0.06)
+_MM_GCUPS = _envf("MASA_TPU_MM_GCUPS", 13e9)
 
 
 def stage1_plan(m: int, n: int, sra_limit: int = 17 << 30,

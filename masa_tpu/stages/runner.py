@@ -302,7 +302,10 @@ def stage1(job: Job, seq0: np.ndarray, seq1: np.ndarray,
     dt = time.time() - t0
     log(f"stage1: best={b.score} at ({b.i},{b.j})  "
         f"{res.cells/1e6:.1f} Mcells in {dt:.2f}s "
-        f"({res.cells/dt/1e9:.2f} GCUPS)")
+        f"({res.cells/dt/1e9:.2f} GCUPS)"
+        + (f"  pruned={res.pruned_cells/1e6:.1f} Mcells "
+           f"({100.0 * res.pruned_cells / max(res.cells + res.pruned_cells, 1):.1f}%)"
+           if res.pruned_cells else ""))
     return best
 
 

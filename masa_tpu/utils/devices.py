@@ -119,3 +119,23 @@ def enable_persistent_compile_cache() -> str | None:
         return path
     except Exception:
         return None
+
+
+def compile_time_tracker():
+    """Accumulate the seconds JAX spends in its compile pipeline (jaxpr
+    trace + MLIR lowering + backend compile, which is also where
+    persistent-cache LOADS are charged) via the jax monitoring events.
+    Returns a zero-arg callable yielding the running total, so callers
+    can split kernel cold-start out of steady-state wall time
+    (big_run's cold_load_s)."""
+    from jax._src import monitoring
+
+    tot = [0.0]
+
+    def _dur(event, secs, **_kw):
+        if (event.startswith("/jax/core/compile/")
+                or "compilation_cache" in event):
+            tot[0] += secs
+
+    monitoring.register_event_duration_secs_listener(_dur)
+    return lambda: tot[0]

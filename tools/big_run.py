@@ -43,11 +43,13 @@ def main():
         return 0
     argv = [a for a in sys.argv[1:] if not a.startswith("-")]
     fresh = "--fresh" in sys.argv
+    no_prune = "--no-prune" in sys.argv
     size = argv[0] if argv else "5M"
     m = SIZES[size]
     n_target = (25 << 20) if size == "23M" else m  # 23M pairs with 25M
 
-    wd = os.path.expanduser(f"~/masa_big_{size}.work")
+    wd = os.path.expanduser(
+        f"~/masa_big_{size}{'_noprune' if no_prune else ''}.work")
     meta_path = os.path.join(wd, "big_run_meta.json")
     meta = None
     if os.path.isdir(wd):
@@ -132,9 +134,18 @@ def main():
     # 131072 spacing (the hop-chain rung).
     jcfg = (JobConfig(work_dir=wd, disk_limit=64 << 30)
             if size == "23M" else JobConfig(work_dir=wd))
+    jcfg.block_pruning = not no_prune
     job = Job(jcfg)
+    # split kernel cold-start (compiles + persistent-cache loads, ~15 s
+    # per distinct Mosaic shape on first touch) out of the record so
+    # steady-state numbers are comparable run-to-run
+    from masa_tpu.utils.devices import compile_time_tracker
+
+    cold = compile_time_tracker()
+    cold0 = cold()
     t0 = time.time()
     marks = {}
+    cold_marks = {}
 
     def save_meta(done=False):
         with open(meta_path + ".tmp", "w") as f:
@@ -147,8 +158,16 @@ def main():
     save_meta()
     last_meta = [time.time()]
 
+    pruned = [0.0]
+
     def log(*a, **k):
         msg = " ".join(str(x) for x in a)
+        if "pruned=" in msg:
+            try:
+                pruned[0] = float(
+                    msg.split("pruned=")[1].split(" ")[0]) * 1e6
+            except (IndexError, ValueError):
+                pass
         if time.time() - last_meta[0] > 60:
             save_meta()
             last_meta[0] = time.time()
@@ -158,6 +177,7 @@ def main():
             return
         if msg.startswith("stage"):
             marks[msg.split(":")[0]] = round(time.time() - t0, 2)
+            cold_marks[msg.split(":")[0]] = round(cold() - cold0, 2)
         print(f"[{time.time()-t0:9.2f}s]", msg, flush=True)
 
     aln = runner.align_job(job, s0, h1, log=log)
@@ -165,10 +185,18 @@ def main():
     total = prev_elapsed + dt
     save_meta(done=True)
     cells = m * len(h1)
+    cold_s = round(cold() - cold0, 2)
+    warm = max(total - cold_s, 1e-9)
     print(json.dumps({
         "size": size, "m": m, "n": len(h1),
         "full_alignment_s": round(total, 2),
         "full_gcups": round(cells / total / 1e9, 2),
+        "cold_load_s": cold_s,
+        "steady_s": round(warm, 2),
+        "steady_gcups": round(cells / warm / 1e9, 2),
+        "cold_by_stage_s": cold_marks,
+        "pruning": not no_prune,
+        "pruned_cells": int(pruned[0]),
         "score": int(aln.raw_score),
         "attempts": attempts + 1,
         "resumed": resumed,
