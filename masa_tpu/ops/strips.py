@@ -25,12 +25,15 @@ from masa_tpu.types import INF, InitType, Recurrence, ScoreParams
 
 import os as _osm
 
-# The unfused windowed strip path pays ~2-3 s of per-strip dispatch +
-# sync on the tunneled chip; pruning narrows the strip only when the
-# skipped cells buy that back at the kernel's sustained rate.
+# Per-strip cost of the unfused windowed path above the fused rate
+# (busmax sync + unwindowed-dispatch delta).  calibrate.py measured
+# 0.22 s/strip WARM (round 5); the round-3 "2-3 s" figure was dominated
+# by per-window-bucket Mosaic cache loads, which the persistent kernel
+# cache and big_run's cold_load_s accounting now absorb.  The default
+# keeps a 2x cushion for mildly-degraded chip windows.
 _WINDOWED_OVERHEAD_S = float(
-    _osm.environ.get("MASA_TPU_WINDOWED_OVERHEAD_S", "2.5"))
-_WINDOWED_RATE = float(_osm.environ.get("MASA_TPU_WINDOWED_RATE", "150e9"))
+    _osm.environ.get("MASA_TPU_WINDOWED_OVERHEAD_S", "0.5"))
+_WINDOWED_RATE = float(_osm.environ.get("MASA_TPU_WINDOWED_RATE", "167e9"))
 
 
 def pl_cdiv(a: int, b: int) -> int:

@@ -349,21 +349,27 @@ def _envf(name: str, default: float) -> float:
     return float(v) if v else default
 
 
-# measured on the tunneled v5e: fused Mosaic strips sustain ~150 GCUPS,
-# the scan twin (which partial strips fall back to) ~3 GCUPS, and a
-# fused dispatch costs ~20 ms.  tools/calibrate.py re-measures every
-# constant on the current chip and prints the env overrides; see
-# records/calibrate_*.log for how each number was obtained.
-_KERNEL_GCUPS = _envf("MASA_TPU_KERNEL_GCUPS", 150e9)
-_SCAN_GCUPS = _envf("MASA_TPU_SCAN_GCUPS", 3e9)
-_DISPATCH_S = _envf("MASA_TPU_DISPATCH_S", 0.02)
+# Cost-model constants, all measured on the tunneled v5e by
+# tools/calibrate.py (round 5, records/round5_batch.log — slope-timed
+# warm fused strips per rung, tail-row scan deltas, scalar-pull round
+# trips, a warm batched-MM level): fused R=131072 strips sustain
+# ~167 GCUPS, the scan twin (partial-strip fallback) ~0.2 GCUPS over
+# the tunnel, a fused dispatch ~73 ms.  Re-run calibrate.py on a new
+# chip/tunnel and export the printed env overrides if these drift.
+_KERNEL_GCUPS = _envf("MASA_TPU_KERNEL_GCUPS", 167e9)
+_SCAN_GCUPS = _envf("MASA_TPU_SCAN_GCUPS", 0.2e9)
+_DISPATCH_S = _envf("MASA_TPU_DISPATCH_S", 0.073)
 
-# Per-rung sustained rates.  The R=131072 rung is measured (README
-# roofline, 150-162 GCUPS); the others are extrapolations from the op
-# mix (same rs=32 lane width for R=32768, quarter-width lanes for
-# R=4096) pending an on-chip sweep — override after measuring with
-# MASA_TPU_RUNG_GCUPS="4096:45,32768:140,131072:150".
-_RUNG_GCUPS = {4096: 45e9, 32768: 140e9, 131072: 150e9}
+# Per-rung sustained rates (calibrate.py slope between g1/g2-strip warm
+# runs, so dispatch and compile costs are excluded) — override with
+# MASA_TPU_RUNG_GCUPS="4096:21,32768:119,131072:167".
+_RUNG_GCUPS = {4096: 21e9, 32768: 119e9, 131072: 167e9}
+
+# Per-flushed-special-row fixed cost in stage 1 (device bus snapshot +
+# async packed pull + SRA bookkeeping, ~60 ms on the tunnel): the term
+# that prices DENSE spacings out — without it the planner sees sub-strip
+# flushes as free and picks pathologically tight cadences.
+_ROW_FLUSH_S = _envf("MASA_TPU_ROW_FLUSH_S", 0.06)
 
 
 def _rung_rate(cfg: wf.WavefrontConfig) -> float:
@@ -403,10 +409,11 @@ def partition_config(rows: int, width: int) -> wf.WavefrontConfig:
 
 
 # stage-2 per-hop fixed cost (device goal match + scalar verdict pull +
-# host bookkeeping) and the batched stage-4 engine's sustained rate
-# (from the [level] traces of 1M runs: top levels ~13 GCUPS)
-_HOP_SYNC_S = _envf("MASA_TPU_HOP_SYNC_S", 0.06)
-_MM_GCUPS = _envf("MASA_TPU_MM_GCUPS", 13e9)
+# host bookkeeping; calibrate.py measures the pull round trip ~27 ms)
+# and the batched stage-4 engine's sustained rate (calibrate.py warm
+# mid-level, ~7.9 GCUPS)
+_HOP_SYNC_S = _envf("MASA_TPU_HOP_SYNC_S", 0.027)
+_MM_GCUPS = _envf("MASA_TPU_MM_GCUPS", 7.85e9)
 
 
 def stage1_plan(m: int, n: int, sra_limit: int = 17 << 30,
@@ -458,6 +465,7 @@ def stage1_plan(m: int, n: int, sra_limit: int = 17 << 30,
             if spacing < iv_min:
                 continue
             hops = max(m // spacing, 1)
+            s1f = s1 + hops * _ROW_FLUSH_S
             s2 = hops * _HOP_SYNC_S + 2.0 * m * spacing / rate
             # stage 4: levels whose halves are >= 32768 tall run
             # per-half strip chains at the kernel's rate
@@ -466,7 +474,7 @@ def stage1_plan(m: int, n: int, sra_limit: int = 17 << 30,
             slow_span = min(spacing, 65536)
             s4 = (2.0 * m * slow_span / _MM_GCUPS
                   + 2.0 * m * max(spacing - slow_span, 0) / rate)
-            cost = s1 + s2 + s4
+            cost = s1f + s2 + s4
             if best is None or cost < best[0]:
                 best = (cost, cfg, spacing)
     return best[1], best[2]
