@@ -192,14 +192,16 @@ def _pallas_mm_cfg(h: int, njq: int, params: ScoreParams, B: int = 1,
     near-multiple height mix beats a short rung's long dispatch chain
     (measured: a 66K-row B=8 group ran 5x faster at R=32768 than the
     R=4096 chain the B-blind model picked)."""
-    from masa_tpu.stages.core import _TPU_LADDER
+    from masa_tpu.stages.core import _DISPATCH_S as _disp
+    from masa_tpu.stages.core import _TPU_LADDER, _rung_rate
 
     hs = heights if heights else (h,) * max(B, 1)
     best, best_cost = None, None
     for c in _TPU_LADDER:
         el_chains = sum(-(-he // c.rows) for he in hs if he > 0)
         dispatches = -(-h // c.rows)
-        cost = el_chains * c.rows * njq / 150e9 + dispatches * 0.02
+        cost = (el_chains * c.rows * njq / _rung_rate(c)
+                + dispatches * _disp)
         if best_cost is None or cost < best_cost:
             best, best_cost = c, cost
     return dataclasses.replace(
@@ -434,9 +436,12 @@ _MOSAIC_NJQ_MIN = 8192
 # chain several small-rung dispatches each); above it, a modeled
 # dispatch-vs-rate comparison decides per level.
 _STRIPS_H_MIN = 32768
-_STRIPS_GCUPS = 140e9   # per-half fused chains (stage-1 rate class)
-_MOSAIC_GCUPS = 13e9    # measured level-trace rate of the dyn kernel
-_DISPATCH_S = 0.02
+# calibrated by tools/calibrate.py (round 5): per-half chains run the
+# mid rung's rate class; the dyn kernel's warm batched rate; the
+# tunnel's per-dispatch charge
+_STRIPS_GCUPS = float(_os.environ.get("MASA_TPU_STRIPS_GCUPS", "119e9"))
+_MOSAIC_GCUPS = float(_os.environ.get("MASA_TPU_MM_GCUPS", "7.85e9"))
+_DISPATCH_S = float(_os.environ.get("MASA_TPU_DISPATCH_S", "0.073"))
 
 
 def _strips_beats_mosaic(halves: list[_Half]) -> bool:
