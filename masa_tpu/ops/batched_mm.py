@@ -421,6 +421,17 @@ def _halves_mosaic(dev: _DevSeqs, halves: list[_Half], rev: bool,
 # and per-pair dispatches tie Mosaic at B<=8 without beating it.
 _DYN_H_MAX = 256
 
+# Merged narrow levels (njq == _MOSAIC_NJQ_MIN) run the row-sweep
+# engine up to this half height: the round-5 engine table
+# (records/round5_batch.log) measured sweep >= mosaic-dyn at EVERY
+# merged shape — (B=64, h=4096) 10.1 vs 8.3 GCUPS, (B=256, h=2048) 3.1
+# vs 2.9, (B=512, h=512) 0.4 vs 0.3, (B=64, h=5000 odd) 10.6 vs 4.2 —
+# because the dyn kernel computes a full R-row chain for any h <= R
+# while the sweep pays only the true rows.  Above this height (or any
+# njq > 8192 level) the dyn kernel/strip chains win outright
+# ((B=32, h=16384): 32.5 vs 1.3).
+_SWEEP_H_MAX = int(_os.environ.get("MASA_TPU_SWEEP_H_MAX", "8192"))
+
 # minimum logical width for the Mosaic engine; narrower levels merge to
 # exactly this width and take the row-sweep engine.  Module global so
 # measurement tools can force the Mosaic path (tools/round2_measure.py).
@@ -520,15 +531,17 @@ def _run_level(dev, halves: list[_Half], rev: bool, params: ScoreParams,
         # tall halves: per-half fused strip chains at the strip
         # kernel's rate (~10x the batched dyn kernel on these shapes)
         return _halves_strips(dev, halves, rev, params, njq)
-    if jax.default_backend() == "tpu" and h_max > _DYN_H_MAX:
-        # every other level: the dynamic-height Mosaic kernel takes a
+    if (jax.default_backend() == "tpu" and h_max > _DYN_H_MAX
+            and (njq > _MOSAIC_NJQ_MIN or h_max > _SWEEP_H_MAX)):
+        # wide or tall levels: the dynamic-height Mosaic kernel takes a
         # tile's height MIX directly — no per-height compile keys.
-        # Round 3 sent njq <= 8192 (merged deep/narrow) levels to the
-        # row-sweep engine; its per-scan-step overhead (~0.5 ms at
-        # width 8192) made a 2048-tall level cost 4 x 512 sequential
-        # steps per tile — the 5M run burned 21 s in ONE such level
-        # (records/big_run_5M_r4.log, level 4).  The R=4096 rung's
-        # anti-diagonal steps cost ~100x less each.
+        # Merged narrow levels (njq == 8192) go to the row-sweep branch
+        # below instead: the round-5 engine table measured sweep >=
+        # mosaic at every merged shape (see _SWEEP_H_MAX) — the round-4
+        # reroute of those levels to the dyn kernel was calibrated
+        # against a degraded-window sweep measurement (the 5M r4
+        # record's 21 s level) that the fixed _B_TILE tiling and warm
+        # caches no longer reproduce.
         outs = []
         for off in range(0, B, _B_TILE):
             outs.append(_halves_mosaic(

@@ -35,6 +35,15 @@ _WINDOWED_OVERHEAD_S = float(
     _osm.environ.get("MASA_TPU_WINDOWED_OVERHEAD_S", "0.5"))
 _WINDOWED_RATE = float(_osm.environ.get("MASA_TPU_WINDOWED_RATE", "167e9"))
 
+# Window-width floor as a fraction of the full chunk count: every pow2
+# width bucket is a distinct Mosaic kernel shape costing ~15 s of
+# kernel-cache LOAD per process (measured round 5,
+# records/big_run_5M_r5_warmpair.log: a warm pruned 5M rerun still paid
+# ~170 s of loads), so the bucket set is capped at {ng/2, ng/4, ng/8}
+# — three windowed shapes per run.  Windows narrower than ng/8 compute
+# a few extra (already-small) chunks instead of buying a fourth shape.
+_WINDOW_MIN_FRAC = int(_osm.environ.get("MASA_TPU_WINDOW_MIN_FRAC", "8"))
+
 
 def pl_cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -460,8 +469,11 @@ def run_partition(
                 # strip is ~22 s and a 40% window saves ~9 s/strip —
                 # the first 23M run pruned ZERO cells under the old
                 # fixed 1/8-of-chunks gate.
-                saved_s = ((ng - max(wr0 - wl0, 0)) * C * hs
-                           / _WINDOWED_RATE)
+                # gate on the EFFECTIVE window (pow2-quantized and
+                # floored at ng/_WINDOW_MIN_FRAC like the slicer below)
+                w_eff = max(wr0 - wl0, 0,
+                            -(-ng // _WINDOW_MIN_FRAC))
+                saved_s = (ng - min(w_eff, ng)) * C * hs / _WINDOWED_RATE
                 wide = wl0 < wr0 and saved_s < _WINDOWED_OVERHEAD_S
                 if wide and (wr0 - wl0) * 8 >= ng * 7:
                     prune_skip = 3
@@ -613,7 +625,12 @@ def run_partition(
                 out = None
             else:
                 wn = 1 << (wr - wl - 1).bit_length()
-                wn = min(wn, ng)
+                # floor at ng/_WINDOW_MIN_FRAC (pow2): bounds the set of
+                # compiled window shapes at 3 per run (~15 s of kernel
+                # cache load per shape per process)
+                floor_wn = 1 << (max(-(-ng // _WINDOW_MIN_FRAC), 1)
+                                 - 1).bit_length()
+                wn = min(max(wn, floor_wn), ng)
                 wa = max(0, min(wl, ng - wn))
 
         if not skip_strip:

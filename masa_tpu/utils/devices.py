@@ -133,8 +133,11 @@ def compile_time_tracker():
     tot = [0.0]
 
     def _dur(event, secs, **_kw):
-        if (event.startswith("/jax/core/compile/")
-                or "compilation_cache" in event):
+        # /jax/core/compile/ phases are disjoint (trace, lower, backend
+        # compile — the last is also where persistent-cache loads are
+        # charged); cache-specific events overlap them, so counting
+        # both would double-book a cache load
+        if event.startswith("/jax/core/compile/"):
             tot[0] += secs
 
     monitoring.register_event_duration_secs_listener(_dur)
