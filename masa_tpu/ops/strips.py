@@ -25,14 +25,19 @@ from masa_tpu.types import INF, InitType, Recurrence, ScoreParams
 
 import os as _osm
 
-# Per-strip cost of the unfused windowed path above the fused rate
-# (busmax sync + unwindowed-dispatch delta).  calibrate.py measured
-# 0.22 s/strip WARM (round 5); the round-3 "2-3 s" figure was dominated
-# by per-window-bucket Mosaic cache loads, which the persistent kernel
-# cache and big_run's cold_load_s accounting now absorb.  The default
-# keeps a 2x cushion for mildly-degraded chip windows.
+# Per-strip cost of the unfused windowed path above the fused rate.
+# calibrate.py measures the pure dispatch delta at ~0.22 s/strip warm,
+# but the round-5 same-window 5M ON/OFF pair
+# (records/big_run_5M_r5_pruneON_final.log vs _warmpair.log) measured
+# the EFFECTIVE cost at ~2-3 s/strip: per-group busmax syncs, sub-strip
+# flush gaps on windowed strips (boundary-only rows -> taller stage-4
+# partitions: 40 s -> 98 s at 5M), and ~15 s/process cache load per
+# window-width shape.  A 5%-pruned 5M run lost ~150 s net under a
+# 0.5 s gate.  2.0 keeps 1M/5M-class strips (~1-4 s) fused unless the
+# window genuinely collapses, while 23M-class strips (~21 s, spacing ==
+# rung so no flush gaps) go windowed from ~10% narrowing.
 _WINDOWED_OVERHEAD_S = float(
-    _osm.environ.get("MASA_TPU_WINDOWED_OVERHEAD_S", "0.5"))
+    _osm.environ.get("MASA_TPU_WINDOWED_OVERHEAD_S", "2.0"))
 _WINDOWED_RATE = float(_osm.environ.get("MASA_TPU_WINDOWED_RATE", "167e9"))
 
 # Window-width floor as a fraction of the full chunk count: every pow2
