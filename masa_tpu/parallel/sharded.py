@@ -421,10 +421,15 @@ def _sharded_run(
         acc_fc_h = np.zeros((D, fc_len), np.int32)
         acc_fc_e = np.zeros((D, fc_len), np.int32)
 
+    trace = os.environ.get("MASA_SHARDED_TRACE")
     for r0 in range(r_start, rounds, c):
+        t_ch = __import__("time").time()
         out = jfn(b_in, s_in, jnp.int32(r0), *carry)
         carry = list(out[:8])
         sp_h_c, sp_f_c, fc_h_c, fc_e_c = (pull(v) for v in out[8:])
+        if trace:
+            print(f"    [sharded] chunk r0={r0}/{rounds} c={c}: "
+                  f"{__import__('time').time() - t_ch:.2f}s", flush=True)
         # demultiplex this chunk's emissions (host knows the diagonal
         # pipeline schedule exactly)
         for d in range(D):
@@ -683,29 +688,50 @@ def sharded_align(
     Returns (best_score, Alignment).  The reference equivalent is the
     whole multi-GPU claim: executeTracebackPipelined / Predicted,
     libmasa.cpp:659-757."""
+    import os
+    import time
+
     from masa_tpu.parallel.split import (
         pipelined_traceback, speculative_traceback,
     )
     from masa_tpu.stages import pipeline, stage6
 
+    trace = os.environ.get("MASA_SHARDED_TRACE")
+    t0 = time.time()
+
+    def mark(name):
+        if trace:
+            print(f"    [sharded] {name}: {time.time() - t0:.2f}s",
+                  flush=True)
+
     full = sharded_stage1_full(seq0, seq1, mesh, cfg, params, backend,
                                prune, flush_stride, state_dir=state_dir)
+    mark("stage1")
+    # the slab marchers reuse the stage-1 backend: "scan" means the CPU
+    # twin everywhere (tests), anything else lets the hop-size heuristic
+    # pick kernel vs numpy per hop
+    tb_backend = "numpy" if backend == "scan" else "auto"
     if traceback == "speculative":
         cps, _reused = speculative_traceback(seq0, seq1, full.parts,
-                                             params)
+                                             params, backend=tb_backend)
     else:
-        cps = pipelined_traceback(seq0, seq1, full.parts, params)
+        cps = pipelined_traceback(seq0, seq1, full.parts, params,
+                                  backend=tb_backend)
+    mark(f"stage2 ({len(cps)} crosspoints)")
     pcfg = pipeline.PipelineConfig(
         params=params, max_cells_stage5=max_cells_stage5,
     )
     cps = pipeline.stage3_densify(seq0, seq1, pcfg, cps)
+    mark("stage3")
     if max_partition:
         from masa_tpu.ops import myers_miller as mm
 
         cps = mm.stage4_reduce(seq0, seq1, cps, params, max_partition,
                                stage5_max_cells=max_cells_stage5)
+    mark(f"stage4 ({len(cps)} crosspoints)")
     aln = pipeline.stage5_emit(seq0, seq1, pcfg, cps)
     stage6.recheck(aln, seq0, seq1, params)
+    mark("stage5+6")
     if aln.raw_score != full.best:
         raise RuntimeError(
             f"sharded alignment score {aln.raw_score} != stage-1 best "
