@@ -1,23 +1,23 @@
 #!/bin/bash
-# Run big_run 23M under a TPU-worker-outage watchdog.
-#
-# The tunneled worker restarts without warning (three outages in the
-# first 90 min of 2026-08-20); an in-flight RPC then never returns and
-# big_run stalls forever on a live-looking socket.  This wrapper probes
-# the device from a SEPARATE process; on 3 consecutive probe failures
-# it kills the run and relaunches it, and big_run resumes from the
-# last flushed special row (the SRA checkpoint contract) with the
-# honest-timing meta summing wall time over attempts.
-# Probe timeout 150s and 3 consecutive fails required: on this 1-core
-# host a concurrent CPU job can starve a probe's jax init (a 2-fail
-# threshold once killed a healthy run).
+# big_run 23M watchdog v3.  Primary health signal: LOG PROGRESS (the
+# flushed-row number or any non-ticker line), because the worker can
+# refuse NEW connections while the run's established stream is healthy
+# (v2's probe-only check killed a working run at 66%).  The probe only
+# confirms an outage after the log has been stale for 2 checks.
 LOG=/root/repo/records/big_run_23M_r5.log
+export MASA_TPU_STAGE2_TRACE=1   # per-hop lines: stage-2 liveness + the per-hop record
 probe() {
   timeout 150 env PYTHONPATH=/root/repo:/root/.axon_site python -c "
 import jax, numpy as np
 x = jax.numpy.ones((256,256), jax.numpy.int32)
 print(int(np.asarray((x+x)[0,0])))
 " >/dev/null 2>&1
+}
+sig() {  # (last flushed-row number, count of non-ticker lines)
+  local row lines
+  row=$(grep -o 'flushed row [0-9]*' "$LOG" | tail -1)
+  lines=$(grep -vc 'flushed row' "$LOG")
+  echo "$row/$lines"
 }
 for attempt in $(seq 1 12); do
   [ -f /tmp/masa_stop_chains ] && { echo "[watchdog] stop sentinel" >> $LOG; exit 0; }
@@ -29,19 +29,23 @@ for attempt in $(seq 1 12); do
   echo "[watchdog] attempt $attempt starting ($(date -u +%H:%M:%S))" >> $LOG
   PYTHONPATH=/root/repo:/root/.axon_site python /root/repo/tools/big_run.py 23M >> $LOG 2>&1 &
   PID=$!
-  fails=0
+  stale=0
+  last=$(sig)
   while kill -0 $PID 2>/dev/null; do
-    sleep 120
+    sleep 180
+    cur=$(sig)
+    if [ "$cur" != "$last" ]; then
+      last=$cur; stale=0; continue
+    fi
+    # log stale for 180s+: suspicious, confirm with the probe
     if probe; then
-      fails=0
+      stale=$((stale+1))   # device up but no progress (degraded or wedged stream)
+      echo "[watchdog] stale log, probe OK ($stale) ($(date -u +%H:%M:%S))" >> $LOG
+      [ $stale -ge 4 ] && { echo "[watchdog] wedged 12+ min: killing $PID for resume" >> $LOG; kill $PID; sleep 3; kill -9 $PID 2>/dev/null; break; }
     else
-      fails=$((fails+1))
-      echo "[watchdog] probe fail $fails ($(date -u +%H:%M:%S))" >> $LOG
-      if [ $fails -ge 3 ]; then
-        echo "[watchdog] worker outage: killing $PID for resume" >> $LOG
-        kill $PID 2>/dev/null; sleep 3; kill -9 $PID 2>/dev/null
-        break
-      fi
+      stale=$((stale+2))
+      echo "[watchdog] stale log, probe FAIL ($stale) ($(date -u +%H:%M:%S))" >> $LOG
+      [ $stale -ge 4 ] && { echo "[watchdog] outage: killing $PID for resume" >> $LOG; kill $PID; sleep 3; kill -9 $PID 2>/dev/null; break; }
     fi
   done
   wait $PID 2>/dev/null
